@@ -1,0 +1,110 @@
+"""Differentiable RNN-T loss core on gathered (blank, emit) lattices.
+
+`rnnt_core` is the single entry point every public API variant (padded, the
+gather trick, compact/packed) lowers to.  It is a `jax.custom_vjp`:
+
+  * primal (not differentiated, e.g. pure inference under jit): ONE backward
+    sweep computes the costs — mirroring the reference compact-mode
+    `required_grad=false` fast path (`core_compact.cu:371-378`).
+  * fwd (under jax.grad/vjp): forward+backward sweeps, gradients w.r.t. the
+    gathered log-probs are fully computed in the forward pass and stashed as
+    residuals; the bwd rule is a single elementwise multiply by the upstream
+    cotangent — exactly the reference autograd contract
+    (`pytorch_binding/warp_rnnt/__init__.py:21-24`).
+
+Backends ("impl"):
+  * "scan":   pure-JAX column scan (`scan_impl`), any platform.
+  * "pallas": Pallas TPU kernels (`warp_rnnt_tpu.ops`).
+  * "auto":   pallas on TPU, scan otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from warp_rnnt_tpu.functional import scan_impl
+
+
+def _select_impl(impl: str) -> str:
+    if impl == "auto":
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        return "pallas" if platform == "tpu" else "scan"
+    return impl
+
+
+def _forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda, impl):
+    impl = _select_impl(impl)
+    if impl == "scan":
+        return scan_impl.forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda)
+    if impl == "pallas":
+        from warp_rnnt_tpu.ops import pallas_impl
+
+        return pallas_impl.forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda)
+    raise ValueError(f"unknown impl: {impl!r}")
+
+
+def _costs_only(blank_lp, emit_lp, xn, yn, impl):
+    impl = _select_impl(impl)
+    if impl == "scan":
+        return scan_impl.costs_only(blank_lp, emit_lp, xn, yn)
+    if impl == "pallas":
+        from warp_rnnt_tpu.ops import pallas_impl
+
+        return pallas_impl.costs_only(blank_lp, emit_lp, xn, yn)
+    raise ValueError(f"unknown impl: {impl!r}")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def rnnt_core(xs_gathered, xn, yn, fastemit_lambda=0.0, impl="auto"):
+    """Per-sample negative log-likelihoods for gathered lattices.
+
+    Args:
+      xs_gathered: (N, T, U, 2) log-probs; channel 0 = blank, 1 = next label.
+      xn, yn: (N,) int32 frame/label lengths.
+      fastemit_lambda: static float, FastEmit regularization weight.
+      impl: static str backend selector.
+
+    Returns:
+      costs: (N,) float32.
+    """
+    blank_lp = xs_gathered[..., 0]
+    emit_lp = xs_gathered[..., 1]
+    return _costs_only(blank_lp, emit_lp, xn, yn, impl)
+
+
+def _rnnt_core_fwd(xs_gathered, xn, yn, fastemit_lambda, impl):
+    blank_lp = xs_gathered[..., 0]
+    emit_lp = xs_gathered[..., 1]
+    costs, g_blank, g_emit, _, _ = _forward_backward(
+        blank_lp, emit_lp, xn, yn, fastemit_lambda, impl
+    )
+    grads = jnp.stack([g_blank, g_emit], axis=-1).astype(xs_gathered.dtype)
+    return costs, (grads, xn.shape, yn.shape)
+
+
+def _rnnt_core_bwd(fastemit_lambda, impl, res, ct):
+    grads, xn_shape, yn_shape = res
+    d_xs = grads * ct[:, None, None, None].astype(grads.dtype)
+    f0 = jax.dtypes.float0
+    return d_xs, np.zeros(xn_shape, dtype=f0), np.zeros(yn_shape, dtype=f0)
+
+
+rnnt_core.defvjp(_rnnt_core_fwd, _rnnt_core_bwd)
+
+
+def rnnt_core_with_internals(xs_gathered, xn, yn, fastemit_lambda=0.0, impl="auto"):
+    """Non-differentiable debug/conformance entry: returns
+    (costs, grads (N,T,U,2), alphas, betas)."""
+    blank_lp = xs_gathered[..., 0]
+    emit_lp = xs_gathered[..., 1]
+    costs, g_blank, g_emit, alphas, betas = _forward_backward(
+        blank_lp, emit_lp, xn, yn, fastemit_lambda, impl
+    )
+    return costs, jnp.stack([g_blank, g_emit], axis=-1), alphas, betas
