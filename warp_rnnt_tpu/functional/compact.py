@@ -1,0 +1,161 @@
+"""Compact (packed, padding-free) RNN-T loss layout.
+
+Reference contract (`pytorch_binding/binding.cpp:109-247`,
+`core_compact.cu`): log-probs arrive packed as ``xs (STU, V)`` with
+``STU = sum_i xn[i] * (yn[i]+1)`` (each sample's (T_i, U_i+1) lattice
+flattened row-major and concatenated) and labels packed as ``ys (sum(yn),)``;
+per-sample costs come back along with gradients in the same packed layout.
+
+TPU-first design: instead of per-sample CUDA kernels with offset arrays and a
+binary-search scatter kernel (`core_compact.cu:456-484`), the packed tensor
+is (a) gathered down to the 2-wide blank/label lattice *in packed form*
+(mirroring `kernel_fill_gather`, `core_compact.cu:403-436`), (b) scattered
+into a dense padded (N, T, U, 2) block — dense tiles are what the VPU wants —
+and (c) run through the same `rnnt_core`.  Every reshaping step is an XLA
+gather whose VJP is the corresponding scatter-add, so `jax.grad` produces the
+packed (STU, V) gradient automatically, including the reference's behavior of
+accumulating the blank+label collision on terminal rows where `loc == blank`.
+
+Shapes under jit must be static: `STU` comes from ``xs.shape`` and the dense
+bounds T = max(xn), U = max(yn)+1 must be supplied via ``max_frames`` /
+``max_labels`` when lengths are traced (outside jit they are derived).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
+
+
+def _static_bounds(xn, yn, max_frames, max_labels):
+    if max_frames is None:
+        try:
+            max_frames = int(jnp.max(xn))
+        except jax.errors.ConcretizationTypeError as e:
+            raise ValueError(
+                "compact mode under jit requires static max_frames"
+            ) from e
+    if max_labels is None:
+        try:
+            max_labels = int(jnp.max(yn))
+        except jax.errors.ConcretizationTypeError as e:
+            raise ValueError(
+                "compact mode under jit requires static max_labels"
+            ) from e
+    return max_frames, max_labels
+
+
+def _row_coordinates(stu, xn, yn):
+    """Map packed row id -> (sample n, frame t, label row u).
+
+    Replaces the reference's device binary search over cum_lens
+    (`core_compact.cu:465-471`) with one vectorized searchsorted.
+    """
+    sizes = xn * (yn + 1)
+    cumlen = jnp.cumsum(sizes)
+    mem_pref = cumlen - sizes  # exclusive prefix
+    rows = jnp.arange(stu, dtype=jnp.int32)
+    n = jnp.searchsorted(cumlen, rows, side="right").astype(jnp.int32)
+    n = jnp.minimum(n, xn.shape[0] - 1)
+    within = rows - mem_pref[n]
+    u_stride = yn[n] + 1
+    t = within // u_stride
+    u = within - t * u_stride
+    return n, t, u, mem_pref, cumlen
+
+
+def compact_gather(xs, ys, xn, yn, blank: int = 0):
+    """Packed (STU, V) -> packed 2-wide lattice (STU, 2) plus `loc`.
+
+    `loc[r]` is the vocabulary index gathered into channel 1 at row r (the
+    next label, or blank on each sample's final row) — identical semantics to
+    the reference `loc` output used by the backward scatter.
+    """
+    stu = xs.shape[0]
+    n, t, u, _, _ = _row_coordinates(stu, xn, yn)
+    label_pref = jnp.cumsum(yn) - yn
+    lab_pos = jnp.clip(label_pref[n] + u, 0, max(int(ys.shape[0]) - 1, 0))
+    if ys.shape[0] == 0:
+        next_label = jnp.full((stu,), blank, jnp.int32)
+    else:
+        next_label = ys.astype(jnp.int32)[lab_pos]
+    loc = jnp.where(u < yn[n], next_label, blank).astype(jnp.int32)
+    blank_col = xs[:, blank]
+    emit_col = jnp.take_along_axis(xs, loc[:, None], axis=1)[:, 0]
+    return jnp.stack([blank_col, emit_col], axis=-1), loc
+
+
+def compact_to_padded(xs_gathered_compact, xn, yn, T: int, U: int):
+    """Scatter packed (STU, 2) rows into a dense (N, T, U, 2) block.
+
+    Invalid cells are filled with 0.0 (rnnt_core masks them by length).  The
+    VJP of this gather is the exact inverse scatter back to packed rows.
+    """
+    N = xn.shape[0]
+    sizes = xn * (yn + 1)
+    mem_pref = jnp.cumsum(sizes) - sizes
+    t_iota = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    u_iota = jnp.arange(U, dtype=jnp.int32)[None, None, :]
+    pos = mem_pref[:, None, None] + t_iota * (yn[:, None, None] + 1) + u_iota
+    valid = (t_iota < xn[:, None, None]) & (u_iota <= yn[:, None, None])
+    pos = jnp.where(valid, pos, 0)
+    padded = xs_gathered_compact[pos]  # (N, T, U, 2)
+    return jnp.where(valid[..., None], padded, 0.0)
+
+
+def rnnt_loss_compact_costs(
+    xs,
+    ys,
+    xn,
+    yn,
+    blank: int = 0,
+    fastemit_lambda: float = 0.0,
+    impl: str = "auto",
+    max_frames: Optional[int] = None,
+    max_labels: Optional[int] = None,
+):
+    """Differentiable per-sample costs for the packed layout."""
+    if xs.ndim != 2:
+        raise ValueError("compact log_probs must have 2 dimensions (STU, V)")
+    if ys.ndim != 1:
+        raise ValueError("compact labels must have 1 dimension (sum(yn),)")
+    T, max_y = _static_bounds(xn, yn, max_frames, max_labels)
+    U = max_y + 1
+    gathered, _ = compact_gather(xs.astype(jnp.float32), ys, xn, yn, blank)
+    padded = compact_to_padded(gathered, xn, yn, T, U)
+    return rnnt_core(padded, xn, yn, fastemit_lambda, impl)
+
+
+def rnnt_loss_compact_with_internals(
+    xs, ys, xn, yn,
+    blank: int = 0, fastemit_lambda: float = 0.0, impl: str = "auto",
+    max_frames: Optional[int] = None, max_labels: Optional[int] = None,
+):
+    """Conformance entry: returns (costs, packed (STU, V) grads, loc).
+
+    Equivalent to reference `rnnt_loss_compact` forward followed by
+    `rnnt_loss_compact_backward` with unit upstream gradients.
+    """
+    T, max_y = _static_bounds(xn, yn, max_frames, max_labels)
+    U = max_y + 1
+    stu, V = xs.shape
+    gathered, loc = compact_gather(xs.astype(jnp.float32), ys, xn, yn, blank)
+    padded = compact_to_padded(gathered, xn, yn, T, U)
+    costs, grads_padded, _, _ = rnnt_core_with_internals(
+        padded, xn, yn, fastemit_lambda, impl
+    )
+    # padded (N,T,U,2) -> packed (STU, 2): inverse of compact_to_padded
+    n, t, u, _, _ = _row_coordinates(stu, xn, yn)
+    grads_packed2 = grads_padded[n, t, u]  # (STU, 2)
+    # packed 2-wide -> packed (STU, V): blank + loc scatter-add (collision on
+    # terminal rows where loc == blank accumulates, matching the reference
+    # scatter kernel's two writes of which the label one is zero there).
+    rows = jnp.arange(stu)
+    grads = jnp.zeros((stu, V), jnp.float32)
+    grads = grads.at[rows, blank].add(grads_packed2[:, 0])
+    grads = grads.at[rows, loc].add(grads_packed2[:, 1])
+    return costs, grads, loc
