@@ -1,0 +1,62 @@
+"""Real-TPU validation + timing sweep (run manually; tests use CPU)."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from warp_rnnt_tpu import rnnt_loss, rnnt_loss_with_internals
+from warp_rnnt_tpu.functional.core import rnnt_core
+
+print("backend", jax.default_backend(), jax.devices()[0].device_kind, flush=True)
+
+# ---- correctness: pallas vs scan on TPU ----------------------------------
+rng = np.random.RandomState(0)
+N, T, U, V = 8, 37, 9, 17
+x = rng.randn(N, T, U, V).astype(np.float32)
+x = x - np.log(np.exp(x).sum(-1, keepdims=True))
+ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+xn = rng.randint(U, T + 1, size=(N,)).astype(np.int32)
+yn = rng.randint(0, U, size=(N,)).astype(np.int32)
+
+c_s, g_s, a_s, b_s = rnnt_loss_with_internals(jnp.asarray(x), jnp.asarray(ys), xn, yn, impl="scan")
+c_p, g_p, a_p, b_p = rnnt_loss_with_internals(jnp.asarray(x), jnp.asarray(ys), xn, yn, impl="pallas")
+np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=2e-5, atol=1e-5)
+np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), rtol=2e-3, atol=1e-4)
+print("TPU pallas-vs-scan parity OK", flush=True)
+
+
+def timeit(fn, args, iters=30, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+# ---- headline config -------------------------------------------------------
+N, T, U, V = 32, 150, 21, 5000
+key = jax.random.PRNGKey(0)
+lp = jax.nn.log_softmax(jax.random.normal(key, (N, T, U, V), jnp.float32), -1)
+ys = jax.random.randint(key, (N, U - 1), 1, V, jnp.int32)
+xn = jnp.full((N,), T, jnp.int32)
+yn = jnp.full((N,), U - 1, jnp.int32)
+xsg = jax.random.normal(key, (N, T, U, 2), jnp.float32) - 5.0
+
+for impl in ("scan", "pallas"):
+    dp = jax.jit(lambda x, impl=impl: jax.value_and_grad(
+        lambda z: rnnt_core(z, xn, yn, 0.0, impl).sum())(x))
+    ms = timeit(dp, (xsg,))
+    print(f"DP-only value+grad gathered [{impl}]: {ms:.3f} ms", flush=True)
+
+    full = jax.jit(lambda x, impl=impl: jax.value_and_grad(
+        lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", gather=True, impl=impl))(x))
+    ms = timeit(full, (lp,))
+    print(f"FULL loss+grad (N,T,U,V) [{impl}]: {ms:.3f} ms   (ref gather=True: 12.35)", flush=True)
+
+    fwd = jax.jit(lambda x, impl=impl: rnnt_loss(x, ys, xn, yn, reduction="mean", gather=True, impl=impl))
+    ms = timeit(fwd, (lp,))
+    print(f"FWD-only (beta sweep)   [{impl}]: {ms:.3f} ms", flush=True)

@@ -1,0 +1,78 @@
+"""Loss benchmark reproducing the reference README table configs
+(`/root/reference/README.md:35-55`, driven like
+`pytorch_binding/benchmark.py`): mean ms/batch of loss(+grad), device-
+synchronized, on random log-softmax inputs."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from warp_rnnt_tpu import rnnt_loss
+
+CONFIGS = [
+    # (T, U_labels, V, iters)
+    (150, 40, 28, 100),
+    (150, 20, 5000, 50),
+    (1500, 300, 50, 10),
+]
+
+
+def make_batch(key, N, T, U, V, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    logits = jax.random.normal(k1, (N, T, U + 1, V), dtype)
+    xs = jax.nn.log_softmax(logits, axis=-1)
+    ys = jax.random.randint(k2, (N, U), 1, V, jnp.int32)
+    xn = jnp.full((N,), T, jnp.int32)
+    yn = jax.random.randint(k3, (N,), U // 2 + 1, U + 1, jnp.int32)
+    return xs, ys, xn, yn
+
+
+def bench_fn(fn, args, iters, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters * 1000.0
+
+
+def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32):
+    key = jax.random.PRNGKey(0)
+    xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype)
+
+    if grad:
+        @jax.jit
+        def step(xs):
+            val, g = jax.value_and_grad(
+                lambda x: rnnt_loss(
+                    x, ys, xn, yn, reduction="mean", gather=True, impl=impl
+                )
+            )(xs)
+            return val, g
+    else:
+        @jax.jit
+        def step(xs):
+            return rnnt_loss(xs, ys, xn, yn, reduction="mean", gather=True, impl=impl)
+
+    return bench_fn(step, (xs,), iters)
+
+
+def main():
+    print(f"backend={jax.default_backend()} device={jax.devices()[0].device_kind}")
+    for T, U, V, iters in CONFIGS:
+        for N in (1, 16, 32, 64, 128):
+            try:
+                ms = run_loss_bench(N, T, U, V, iters)
+                print(f"T={T} U={U} V={V} N={N}: {ms:8.2f} ms/batch (loss+grad)")
+            except Exception as e:  # noqa: BLE001
+                print(f"T={T} U={U} V={V} N={N}: failed: {type(e).__name__}")
+
+
+if __name__ == "__main__":
+    main()

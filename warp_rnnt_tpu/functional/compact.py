@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
+from warp_rnnt_tpu.functional.gather import gather_blank_label
 
 
 def _static_bounds(xn, yn, max_frames, max_labels):
@@ -84,9 +85,7 @@ def compact_gather(xs, ys, xn, yn, blank: int = 0):
     else:
         next_label = ys.astype(jnp.int32)[lab_pos]
     loc = jnp.where(u < yn[n], next_label, blank).astype(jnp.int32)
-    blank_col = xs[:, blank]
-    emit_col = jnp.take_along_axis(xs, loc[:, None], axis=1)[:, 0]
-    return jnp.stack([blank_col, emit_col], axis=-1), loc
+    return gather_blank_label(xs, loc, blank), loc
 
 
 def compact_to_padded(xs_gathered_compact, xn, yn, T: int, U: int):

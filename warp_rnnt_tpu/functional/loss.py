@@ -22,6 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
+from warp_rnnt_tpu.functional.gather import gather_blank_label
 
 
 def _gather_blank_emit(log_probs, labels, blank):
@@ -30,7 +31,8 @@ def _gather_blank_emit(log_probs, labels, blank):
     Channel 0 is the blank log-prob everywhere; channel 1 is the log-prob of
     the NEXT label y_{u+1} for rows u < U-1 and the blank for the last row —
     the exact index construction of the reference gather trick
-    (`pytorch_binding/warp_rnnt/__init__.py:118-128`).
+    (`pytorch_binding/warp_rnnt/__init__.py:118-128`).  Differentiable with a
+    dense scatter-free VJP (see `warp_rnnt_tpu.functional.gather`).
     """
     N, T, U, V = log_probs.shape
     if labels.shape != (N, U - 1):
@@ -40,11 +42,8 @@ def _gather_blank_emit(log_probs, labels, blank):
     labels_ext = jnp.concatenate(
         [labels.astype(jnp.int32), jnp.full((N, 1), blank, jnp.int32)], axis=1
     )  # (N, U)
-    index = jnp.stack(
-        [jnp.full((N, U), blank, jnp.int32), labels_ext], axis=-1
-    )  # (N, U, 2)
-    index = jnp.broadcast_to(index[:, None, :, :], (N, T, U, 2))
-    return jnp.take_along_axis(log_probs, index, axis=3)
+    loc = jnp.broadcast_to(labels_ext[:, None, :], (N, T, U))
+    return gather_blank_label(log_probs, loc, blank)
 
 
 def rnnt_loss(

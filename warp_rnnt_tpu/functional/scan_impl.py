@@ -141,47 +141,16 @@ def forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda=0.0):
       costs (N,), grad_blank (N, T, U), grad_emit (N, T, U),
       alphas (N, T, U), betas (N, T, U).
     """
-    dtype = jnp.float32
-    blank_lp = blank_lp.astype(dtype)
-    emit_lp = emit_lp.astype(dtype)
-    N, T, U = blank_lp.shape
+    from warp_rnnt_tpu.functional.postprocess import costs_and_grads
 
+    blank_lp = blank_lp.astype(jnp.float32)
+    emit_lp = emit_lp.astype(jnp.float32)
     alphas = compute_alphas(blank_lp, emit_lp, xn, yn)
     betas = compute_betas(blank_lp, emit_lp, xn, yn)
-
-    n_iota = jnp.arange(N)
-    ll_b = betas[:, 0, 0]
-    a_term = alphas[n_iota, xn - 1, yn]
-    ll_f = a_term + blank_lp[n_iota, xn - 1, yn]
-
-    ratio = jnp.abs(ll_f - ll_b) / jnp.abs(jnp.maximum(ll_f, ll_b))
-    bad = ratio > 0.001
-    costs = jnp.where(bad, -(ll_f + ll_b) * 0.5, -ll_b)
-
-    t_iota = jnp.arange(T)[None, :, None]
-    u_iota = jnp.arange(U)[None, None, :]
-    xn_b = xn[:, None, None]
-    yn_b = yn[:, None, None]
-    terminal = (t_iota == xn_b - 1) & (u_iota == yn_b)
-
-    ll = ll_b[:, None, None]
-    neg_inf_t = jnp.full((N, 1, U), NEG_INF, dtype)
-    beta_t1 = jnp.concatenate([betas[:, 1:, :], neg_inf_t], axis=1)
-    neg_inf_u = jnp.full((N, T, 1), NEG_INF, dtype)
-    beta_u1 = jnp.concatenate([betas[:, :, 1:], neg_inf_u], axis=2)
-
-    occ_blank = alphas + blank_lp + jnp.where(terminal, 0.0, beta_t1) - ll
-    grad_blank = -jnp.exp(occ_blank)
-    valid = (t_iota < xn_b) & (u_iota <= yn_b)
-    grad_blank = jnp.where(valid, grad_blank, 0.0)
-
-    occ_emit = alphas + emit_lp + beta_u1 - ll
-    grad_emit = -(1.0 + fastemit_lambda) * jnp.exp(occ_emit)
-    valid_emit = (t_iota < xn_b) & (u_iota < yn_b)
-    grad_emit = jnp.where(valid_emit, grad_emit, 0.0)
-
-    keep = jnp.where(bad, 0.0, 1.0)[:, None, None]
-    return costs, grad_blank * keep, grad_emit * keep, alphas, betas
+    costs, grad_blank, grad_emit = costs_and_grads(
+        blank_lp, emit_lp, alphas, betas, xn, yn, fastemit_lambda
+    )
+    return costs, grad_blank, grad_emit, alphas, betas
 
 
 def costs_only(blank_lp, emit_lp, xn, yn):

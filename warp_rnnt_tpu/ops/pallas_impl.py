@@ -1,0 +1,229 @@
+"""Pallas TPU kernels for the RNN-T lattice sweeps.
+
+TPU-native replacement for the reference's warp-pipelined CUDA kernels
+(`core.cu:41-246`, `core_gather.cu`): no spin-lock counts array, no warps.
+The lattice is swept column-by-column (grid over U, sequential on a
+TensorCore); each column's in-T dependency
+
+    alpha[t, u] = LSE(alpha[t-1, u] + blank[t-1, u], alpha[t, u-1] + emit[t, u-1])
+
+is a log-space first-order linear recurrence solved in-register with a
+Hillis-Steele doubling scan over the lane dimension (log2(T) steps of
+`pltpu.roll` + logaddexp on the VPU) — the TPU analogue of the reference's
+`__shfl_up_sync` warp scans (`core.cu:99-131`).  Alpha and beta sweeps run
+FUSED in the same grid step (alpha walks u upward while beta walks U-1-u
+downward), mirroring `kernel_warp`'s two cooperating warp groups
+(`core.cu:248-258`) but without any cross-thread synchronization: the column
+carries live in VMEM scratch that persists across sequential grid steps.
+
+Memory layout: lattices are transposed to (U, N, T) so each grid step's
+blocks are (1, N_pad, T_pad) tiles — N on sublanes, T on lanes.  All DP math
+is fp32.  -inf is replaced by a large negative sentinel (NEG) to keep the VPU
+NaN-free; exp() underflows it to exactly 0 downstream.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from warp_rnnt_tpu.functional.postprocess import costs_and_grads
+
+NEG = -1.0e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lae(a, b):
+    """logaddexp on finite sentinel values (never sees true -inf)."""
+    mx = jnp.maximum(a, b)
+    return mx + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+
+
+def _shift_right(x, k, fill):
+    t = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(t < k, fill, pltpu.roll(x, shift=k, axis=1))
+
+
+def _shift_left(x, k, fill):
+    t = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    T = x.shape[1]
+    # pltpu.roll requires non-negative shifts: left-by-k == right-by-(T-k)
+    return jnp.where(t >= T - k, fill, pltpu.roll(x, shift=T - k, axis=1))
+
+
+def _scan_fwd(m, b, T_pad):
+    """Inclusive solve of a[t] = LSE(a[t-1] + m[t], b[t]) over lanes."""
+    k = 1
+    while k < T_pad:
+        ms = _shift_right(m, k, 0.0)
+        bs = _shift_right(b, k, NEG)
+        b = _lae(bs + m, b)
+        m = ms + m
+        k *= 2
+    return b
+
+
+def _scan_bwd(m, b, T_pad):
+    """Inclusive solve of a[t] = LSE(a[t+1] + m[t], b[t]) over lanes.
+
+    Suffix segments combine as (M_l, B_l) . (M_r, B_r) =
+    (M_l + M_r, LSE(B_l, M_l + B_r)).
+    """
+    k = 1
+    while k < T_pad:
+        ms = _shift_left(m, k, 0.0)
+        bs = _shift_left(b, k, NEG)
+        b = _lae(b, m + bs)
+        m = m + ms
+        k *= 2
+    return b
+
+
+def _fused_kernel(
+    xn_ref, yn_ref,
+    blank_a_ref, emit_a_ref, blank_b_ref, emit_b_ref,
+    alpha_out_ref, beta_out_ref,
+    alpha_c_ref, beta_c_ref,
+    *, U: int, T_pad: int, compute_alpha: bool,
+):
+    u_step = pl.program_id(0)
+    BN = alpha_c_ref.shape[0]
+
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, T_pad), 1)
+    xn = xn_ref[:, 0:1]  # (BN, 1)
+    yn = yn_ref[:, 0:1]
+    valid_t = t_iota < xn
+
+    # ---- beta column (u = U-1-u_step), runs every step --------------------
+    u_b = U - 1 - u_step
+    blank_col_b = blank_b_ref[0]
+    emit_col_b = emit_b_ref[0]
+    terminal = (t_iota == xn - 1) & (u_b == yn)
+    emit_ok_b = (u_b < yn) & valid_t
+    prev_beta = jnp.where(u_step == 0, NEG, beta_c_ref[:, :])
+    b = jnp.where(
+        terminal,
+        blank_col_b,
+        jnp.where(emit_ok_b, emit_col_b + prev_beta, NEG),
+    )
+    beta_col = _scan_bwd(blank_col_b, b, T_pad)
+    beta_c_ref[:, :] = beta_col
+    beta_out_ref[0] = beta_col
+
+    # ---- alpha column (u = u_step) ---------------------------------------
+    if compute_alpha:
+        blank_col_a = blank_a_ref[0]
+        emit_prev_a = emit_a_ref[0]  # column u-1 (dummy at u=0)
+        seed = jnp.where(t_iota == 0, 0.0, NEG)
+        emit_ok_a = ((u_step - 1) < yn) & valid_t
+        prev_alpha = alpha_c_ref[:, :]
+        b_a = jnp.where(
+            u_step == 0,
+            seed,
+            jnp.where(emit_ok_a, prev_alpha + emit_prev_a, NEG),
+        )
+        m_a = _shift_right(blank_col_a, 1, 0.0)
+        alpha_col = _scan_fwd(m_a, b_a, T_pad)
+        alpha_c_ref[:, :] = alpha_col
+        alpha_out_ref[0] = alpha_col
+
+
+def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
+    """Run the fused column sweep.  Inputs/outputs (N, T, U) fp32.
+
+    Returns (alphas, betas); alphas is garbage (unwritten) when
+    ``compute_alpha=False`` — used by the beta-only inference path.
+    """
+    N, T, U = blank_lp.shape
+    N_pad = _round_up(max(N, 8), 8)
+    T_pad = _round_up(max(T, 128), 128)
+
+    blank_ut = jnp.full((U, N_pad, T_pad), NEG, jnp.float32)
+    blank_ut = blank_ut.at[:, :N, :T].set(
+        jnp.moveaxis(blank_lp.astype(jnp.float32), 2, 0)
+    )
+    emit_ut = jnp.full((U, N_pad, T_pad), NEG, jnp.float32)
+    emit_ut = emit_ut.at[:, :N, :T].set(
+        jnp.moveaxis(emit_lp.astype(jnp.float32), 2, 0)
+    )
+    # padded samples get a valid 1x1 lattice so no NaN can arise
+    xn_col = jnp.concatenate(
+        [xn.astype(jnp.int32), jnp.ones((N_pad - N,), jnp.int32)]
+    )[:, None]
+    yn_col = jnp.concatenate(
+        [yn.astype(jnp.int32), jnp.zeros((N_pad - N,), jnp.int32)]
+    )[:, None]
+
+    col_block = pl.BlockSpec(
+        (1, N_pad, T_pad), lambda u: (u, 0, 0), memory_space=pltpu.VMEM
+    )
+    col_block_prev = pl.BlockSpec(
+        (1, N_pad, T_pad),
+        lambda u: (jnp.maximum(u - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    col_block_rev = pl.BlockSpec(
+        (1, N_pad, T_pad), lambda u: (U - 1 - u, 0, 0), memory_space=pltpu.VMEM
+    )
+    len_block = pl.BlockSpec(
+        (N_pad, 1), lambda u: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _fused_kernel, U=U, T_pad=T_pad, compute_alpha=compute_alpha
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+        jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+    ]
+    flops_scan = 2 * U * N_pad * T_pad * (int(math.log2(T_pad)) + 1) * 8
+    interpret = jax.default_backend() != "tpu"
+    alphas_ut, betas_ut = pl.pallas_call(
+        kernel,
+        grid=(U,),
+        in_specs=[len_block, len_block, col_block, col_block_prev,
+                  col_block_rev, col_block_rev],
+        out_specs=[col_block, col_block_rev],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((N_pad, T_pad), jnp.float32),
+            pltpu.VMEM((N_pad, T_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_scan,
+            bytes_accessed=4 * U * N_pad * T_pad * 16,
+            transcendentals=2 * U * N_pad * T_pad * (int(math.log2(T_pad)) + 1),
+        ),
+        interpret=interpret,
+    )(xn_col, yn_col, blank_ut, emit_ut, blank_ut, emit_ut)
+
+    alphas = jnp.moveaxis(alphas_ut[:, :N, :T], 0, 2)
+    betas = jnp.moveaxis(betas_ut[:, :N, :T], 0, 2)
+    return alphas, betas
+
+
+def forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda=0.0):
+    """Pallas-backed equivalent of `scan_impl.forward_backward`."""
+    blank_lp = blank_lp.astype(jnp.float32)
+    emit_lp = emit_lp.astype(jnp.float32)
+    alphas, betas = alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha=True)
+    costs, g_blank, g_emit = costs_and_grads(
+        blank_lp, emit_lp, alphas, betas, xn, yn, fastemit_lambda
+    )
+    return costs, g_blank, g_emit, alphas, betas
+
+
+def costs_only(blank_lp, emit_lp, xn, yn):
+    """Beta-only inference sweep (reference `core_compact.cu:371-378`)."""
+    blank_lp = blank_lp.astype(jnp.float32)
+    emit_lp = emit_lp.astype(jnp.float32)
+    _, betas = alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha=False)
+    return -betas[:, 0, 0]
