@@ -1,0 +1,111 @@
+"""Model forward/train-step sanity and multi-device (8 virtual CPU devices)
+data-parallel loss equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from warp_rnnt_tpu import rnnt_loss
+from warp_rnnt_tpu.models import Transducer, init_model, make_train_step
+from warp_rnnt_tpu.parallel import (
+    make_mesh,
+    rnnt_loss_shard_map,
+    rnnt_loss_sharded,
+    shard_batch,
+)
+
+import golden
+
+
+def _random_batch(seed, N, T, U, V):
+    rng = np.random.RandomState(seed)
+    xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = np.full((N,), T, np.int32)
+    yn = rng.randint(1, U, size=(N,)).astype(np.int32)
+    return jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xn), jnp.asarray(yn)
+
+
+def test_multidevice_available():
+    assert jax.device_count() == 8, jax.devices()
+
+
+def test_shard_map_loss_matches_single_device():
+    xs, ys, xn, yn = _random_batch(0, 8, 12, 5, 7)
+    mesh = make_mesh()
+    ref = rnnt_loss(xs, ys, xn, yn, impl="scan")
+
+    costs = rnnt_loss_shard_map(mesh, xs, ys, xn, yn, reduction="none", impl="scan")
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    total = rnnt_loss_shard_map(mesh, xs, ys, xn, yn, reduction="sum", impl="scan")
+    np.testing.assert_allclose(float(total), float(np.asarray(ref).sum()), rtol=1e-5)
+
+    mean = rnnt_loss_shard_map(mesh, xs, ys, xn, yn, reduction="mean", impl="scan")
+    np.testing.assert_allclose(float(mean), float(np.asarray(ref).mean()), rtol=1e-5)
+
+
+def test_gspmd_sharded_loss_and_grad():
+    xs, ys, xn, yn = _random_batch(1, 8, 10, 4, 6)
+    mesh = make_mesh()
+    xs_sh, ys_sh = shard_batch(mesh, (xs, ys))
+
+    @jax.jit
+    def f(x):
+        return rnnt_loss_sharded(mesh, x, ys_sh, xn, yn, reduction="mean", impl="scan")
+
+    @jax.jit
+    def g(x):
+        return jax.grad(
+            lambda z: rnnt_loss_sharded(mesh, z, ys_sh, xn, yn, reduction="mean", impl="scan")
+        )(x)
+
+    ref = rnnt_loss(xs, ys, xn, yn, reduction="mean", impl="scan")
+    np.testing.assert_allclose(float(f(xs_sh)), float(ref), rtol=1e-5)
+    g_ref = jax.grad(
+        lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", impl="scan")
+    )(xs)
+    np.testing.assert_allclose(
+        np.asarray(g(xs_sh)), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_transducer_forward_and_train_step():
+    model, params, batch = init_model(
+        jax.random.PRNGKey(0), vocab_size=16, feat_dim=20, N=4, T=12, U=4,
+        encoder_hidden=32, predictor_hidden=32, joint_hidden=32,
+    )
+    feats, labels, xn, yn = batch
+    lp = model.apply(params, feats, labels)
+    assert lp.shape == (4, 12, 4, 16)
+    # log-probs normalize over V
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(lp).sum(-1)), np.ones((4, 12, 4)), rtol=1e-3
+    )
+
+    opt = optax.adamw(1e-3)
+    step = jax.jit(make_train_step(model, opt))
+    opt_state = opt.init(params)
+    losses = []
+    p = params
+    for _ in range(5):
+        p, opt_state, loss = step(p, opt_state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses  # optimizes on a fixed batch
+
+
+def test_train_step_sharded_over_mesh():
+    mesh = make_mesh()
+    model, params, batch = init_model(
+        jax.random.PRNGKey(1), vocab_size=12, feat_dim=16, N=8, T=10, U=4,
+        encoder_hidden=16, predictor_hidden=16, joint_hidden=16,
+    )
+    batch = shard_batch(mesh, batch)
+    opt = optax.adamw(1e-3)
+    step = jax.jit(make_train_step(model, opt))
+    opt_state = opt.init(params)
+    p, opt_state, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))

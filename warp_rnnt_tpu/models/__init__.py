@@ -1,0 +1,19 @@
+from warp_rnnt_tpu.models.joint import Joint
+from warp_rnnt_tpu.models.transducer import (
+    Encoder,
+    Predictor,
+    Transducer,
+    init_model,
+    make_train_step,
+    transducer_loss_fn,
+)
+
+__all__ = [
+    "Joint",
+    "Encoder",
+    "Predictor",
+    "Transducer",
+    "init_model",
+    "make_train_step",
+    "transducer_loss_fn",
+]

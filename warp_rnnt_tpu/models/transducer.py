@@ -1,0 +1,130 @@
+"""A complete (small) RNN-Transducer model + training step.
+
+The reference ships no model (it is a loss library); this module provides the
+minimal end-to-end system a loss needs to prove itself: acoustic encoder,
+label predictor, joint, `rnnt_loss`, and a jit/mesh-ready optax training
+step.  Architecture is deliberately compact but real:
+
+  encoder:   dense "subsampling" + N conv-GLU blocks over time (MXU-friendly,
+             no sequential recurrence) + layernorm
+  predictor: embedding + unidirectional GRU (lax.scan) over labels
+  joint:     see `warp_rnnt_tpu.models.joint`
+
+Everything is shape-static and shardable: batch over 'data', joint vocab over
+'model'.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from warp_rnnt_tpu.functional.loss import rnnt_loss
+from warp_rnnt_tpu.models.joint import Joint
+
+
+class ConvBlock(nn.Module):
+    features: int
+    kernel: int = 5
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # (N, T, H)
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.compute_dtype)
+        h = nn.Conv(2 * self.features, (self.kernel,), padding="SAME",
+                    dtype=self.compute_dtype)(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        return x + (a * nn.sigmoid(b)).astype(x.dtype)
+
+
+class Encoder(nn.Module):
+    hidden: int = 256
+    blocks: int = 2
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats):  # (N, T, F) -> (N, T, H)
+        h = nn.Dense(self.hidden, dtype=self.compute_dtype)(feats.astype(self.compute_dtype))
+        h = h.astype(jnp.float32)
+        for _ in range(self.blocks):
+            h = ConvBlock(self.hidden, compute_dtype=self.compute_dtype)(h)
+        return nn.LayerNorm(dtype=jnp.float32)(h)
+
+
+class Predictor(nn.Module):
+    vocab_size: int
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, labels):  # (N, U-1) int -> (N, U, H)
+        N = labels.shape[0]
+        emb = nn.Embed(self.vocab_size, self.hidden)(labels)
+        # prepend the <sos>/blank step: row u of the output conditions on
+        # labels[< u], so shift right with a zero vector.
+        emb = jnp.concatenate(
+            [jnp.zeros((N, 1, self.hidden), emb.dtype), emb], axis=1
+        )  # (N, U, H)
+        cell = nn.GRUCell(self.hidden)
+        carry = jnp.zeros((N, self.hidden), emb.dtype)
+        scan = nn.RNN(cell, name="gru")
+        return scan(emb, initial_carry=carry)
+
+
+class Transducer(nn.Module):
+    vocab_size: int
+    encoder_hidden: int = 256
+    predictor_hidden: int = 256
+    joint_hidden: int = 512
+    joint_mode: str = "add"
+
+    @nn.compact
+    def __call__(self, feats, labels):
+        """feats (N, T, F), labels (N, U-1) -> log-probs (N, T, U, V)."""
+        f = Encoder(self.encoder_hidden, name="encoder")(feats)
+        g = Predictor(self.vocab_size, self.predictor_hidden, name="predictor")(labels)
+        return Joint(
+            self.vocab_size, self.joint_hidden, self.joint_mode, name="joint"
+        )(f, g)
+
+
+def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0):
+    feats, labels, xn, yn = batch
+    log_probs = model.apply(params, feats, labels)
+    return rnnt_loss(
+        log_probs, labels, xn, yn,
+        reduction="mean", gather=True, fastemit_lambda=fastemit_lambda,
+    )
+
+
+def make_train_step(model: Transducer, optimizer: optax.GradientTransformation,
+                    fastemit_lambda: float = 0.0):
+    """Returns a pure (params, opt_state, batch) -> (params, opt_state, loss)
+    step, ready for jit over a mesh (shard batch over 'data')."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: transducer_loss_fn(model, p, batch, fastemit_lambda)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def init_model(
+    key, vocab_size=32, feat_dim=80, N=4, T=32, U=8, **model_kwargs
+) -> Tuple[Transducer, Any, Tuple]:
+    """Convenience initializer returning (model, params, example_batch)."""
+    model = Transducer(vocab_size=vocab_size, **model_kwargs)
+    k1, k2, k3 = jax.random.split(key, 3)
+    feats = jax.random.normal(k1, (N, T, feat_dim), jnp.float32)
+    labels = jax.random.randint(k2, (N, U - 1), 1, vocab_size, jnp.int32)
+    xn = jnp.full((N,), T, jnp.int32)
+    yn = jax.random.randint(k3, (N,), max(U // 2, 1), U, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, labels)
+    return model, params, (feats, labels, xn, yn)
