@@ -1,0 +1,73 @@
+"""Driver benchmark: headline RNN-T loss config on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup}
+
+Config matches the reference's strongest published number: N=32, T=150, U=20,
+V=5000, gather path — 12.35 ms/batch on an RTX 2070 Super
+(`/root/reference/README.md:46`).  Our measurement is strictly harder: the
+reference times the forward call only (grads stashed w.r.t. the gathered
+(N,T,U,2) lattice, backward scatter untimed), while this times jitted
+value_and_grad w.r.t. the full (N,T,U,V) log-prob tensor, including the
+backward scatter into all 2 GB of it.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from warp_rnnt_tpu import rnnt_loss
+
+BASELINE_MS = 12.35  # warp_rnnt gather=True, N=32 T=150 U=20 V=5000 (README.md:46)
+
+
+def main():
+    N, T, U, V = 32, 150, 20, 5000
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    log_probs = jax.nn.log_softmax(
+        jax.random.normal(k1, (N, T, U + 1, V), jnp.float32), axis=-1
+    )
+    ys = jax.random.randint(k2, (N, U), 1, V, jnp.int32)
+    xn = jnp.full((N,), T, jnp.int32)
+    yn = jnp.full((N,), U, jnp.int32)
+
+    @jax.jit
+    def step(x):
+        return jax.value_and_grad(
+            lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", gather=True)
+        )(x)
+
+    # warmup / compile
+    val, grad = step(log_probs)
+    jax.block_until_ready(grad)
+
+    iters = 50
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, grad = step(log_probs)
+        jax.block_until_ready(grad)
+        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rnnt_loss+grad ms/batch (N=32,T=150,U=20,V=5000, gather)",
+                "value": round(best, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / best, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
