@@ -13,12 +13,16 @@ from warp_rnnt_tpu.reference import transduce_batch
 import golden
 
 
+IMPLS = ["pallas", "pallas_diag"]
+
+
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("name", sorted(golden.ALL_PADDED_CASES))
-def test_golden(name):
+def test_golden(name, impl):
     case = golden.ALL_PADDED_CASES[name]
     xs = jnp.asarray(case["xs"], jnp.float32)
     costs, grads, _, _ = rnnt_loss_with_internals(
-        xs, jnp.asarray(case["ys"]), case["xn"], case["yn"], impl="pallas"
+        xs, jnp.asarray(case["ys"]), case["xn"], case["yn"], impl=impl
     )
     np.testing.assert_allclose(
         np.asarray(costs), case["expected_costs"], rtol=1e-4, atol=2e-5
@@ -28,8 +32,9 @@ def test_golden(name):
     )
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("seed", [0, 1])
-def test_random_vs_oracle(seed):
+def test_random_vs_oracle(seed, impl):
     rng = np.random.RandomState(seed)
     N, T, U, V = 4, 19, 7, 13
     xs = golden.log_softmax(rng.randn(N, T, U, V))
@@ -41,7 +46,7 @@ def test_random_vs_oracle(seed):
 
     exp_costs, exp_alphas, exp_betas, exp_grads = transduce_batch(xs, ys, xn, yn)
     costs, grads, alphas, betas = rnnt_loss_with_internals(
-        jnp.asarray(xs, jnp.float32), jnp.asarray(ys), xn, yn, impl="pallas"
+        jnp.asarray(xs, jnp.float32), jnp.asarray(ys), xn, yn, impl=impl
     )
     np.testing.assert_allclose(np.asarray(costs), exp_costs, rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(grads), exp_grads, rtol=2e-4, atol=1e-5)
@@ -57,7 +62,8 @@ def test_random_vs_oracle(seed):
         )
 
 
-def test_costs_only_matches_forward_backward():
+@pytest.mark.parametrize("impl_mod", ["pallas_diag", "pallas_impl"])
+def test_costs_only_matches_forward_backward(impl_mod):
     rng = np.random.RandomState(2)
     N, T, U, V = 3, 11, 5, 6
     xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
@@ -71,8 +77,11 @@ def test_costs_only_matches_forward_backward():
     xn = np.array([11, 9, 10], np.int32)
     yn = np.array([4, 2, 3], np.int32)
 
-    c_fast = pallas_impl.costs_only(blank_lp, jnp.asarray(emit), xn, yn)
-    c_full, _, _, _, _ = pallas_impl.forward_backward(
+    import importlib
+
+    mod = importlib.import_module(f"warp_rnnt_tpu.ops.{impl_mod}")
+    c_fast = mod.costs_only(blank_lp, jnp.asarray(emit), xn, yn)
+    c_full, _, _, _, _ = mod.forward_backward(
         blank_lp, jnp.asarray(emit), xn, yn
     )
     c_scan = scan_impl.costs_only(blank_lp, jnp.asarray(emit), xn, yn)

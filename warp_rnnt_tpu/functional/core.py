@@ -39,26 +39,32 @@ def _select_impl(impl: str) -> str:
     return impl
 
 
-def _forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda, impl):
+def _backend(impl: str):
     impl = _select_impl(impl)
     if impl == "scan":
-        return scan_impl.forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda)
-    if impl == "pallas":
+        return scan_impl
+    if impl in ("pallas", "pallas_col"):
+        # column-scan kernel: the primary TPU path (zero relayout overhead;
+        # the diagonal kernel's DP is faster but XLA-side shear/unshear
+        # copies currently dominate it — see ops/pallas_diag.py)
         from warp_rnnt_tpu.ops import pallas_impl
 
-        return pallas_impl.forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda)
+        return pallas_impl
+    if impl == "pallas_diag":  # anti-diagonal wavefront (experimental)
+        from warp_rnnt_tpu.ops import pallas_diag
+
+        return pallas_diag
     raise ValueError(f"unknown impl: {impl!r}")
+
+
+def _forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda, impl):
+    return _backend(impl).forward_backward(
+        blank_lp, emit_lp, xn, yn, fastemit_lambda
+    )
 
 
 def _costs_only(blank_lp, emit_lp, xn, yn, impl):
-    impl = _select_impl(impl)
-    if impl == "scan":
-        return scan_impl.costs_only(blank_lp, emit_lp, xn, yn)
-    if impl == "pallas":
-        from warp_rnnt_tpu.ops import pallas_impl
-
-        return pallas_impl.costs_only(blank_lp, emit_lp, xn, yn)
-    raise ValueError(f"unknown impl: {impl!r}")
+    return _backend(impl).costs_only(blank_lp, emit_lp, xn, yn)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

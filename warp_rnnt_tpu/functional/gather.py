@@ -4,16 +4,25 @@ The padded and compact paths both reduce the vocabulary axis early: from each
 row of ``(R, V)`` log-probs only the blank entry and one label entry survive
 (`pytorch_binding/warp_rnnt/__init__.py:118-128`, `core_compact.cu:403-436`).
 Differentiating a plain ``take_along_axis`` makes XLA emit a scatter-add into
-the (R, V) cotangent, which is catastrophically slow on TPU (measured ~10x
-the bandwidth cost on the headline config).  Since every row receives at most
-two nonzeros at *known* columns, the VJP is instead written as a fused
-broadcast-compare-select:
+the (R, V) cotangent, which is catastrophically slow on TPU.  Since every row
+receives at most two nonzeros at *known* columns, the VJP is instead a dense
+compare-select write:
 
     d_xs[r, v] = ct[r, 0] * [v == blank] + ct[r, 1] * [v == loc[r]]
 
-one elementwise pass at HBM write bandwidth, no scatter.  When
-``loc[r] == blank`` (terminal lattice rows) both terms accumulate, matching
-the scatter-add semantics of the reference autograd gather.
+When ``loc[r] == blank`` (terminal lattice rows) both terms accumulate,
+matching the scatter-add semantics of the reference autograd gather.
+
+Forward formulation is chosen by vocabulary size (measured on v5e):
+  * large V: last-axis take_along_axis (near HBM-bandwidth);
+  * small V (<= _SMALL_V): XLA lowers small-V gathers to a ~7 GB/s fusion,
+    so a compare-mask reduction over V is used instead (~5x faster).
+
+Implementation note: these stay XLA expressions on purpose.  A Pallas
+formulation requires (R, 1)/(R, 2)-shaped operands whose forced row-major
+layouts tile-pad the minor dimension to 128 lanes (up to 64-128x HBM
+expansion) and insert relayout copies at every kernel boundary — measured
+strictly slower at all V.
 """
 
 from __future__ import annotations
@@ -24,19 +33,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_SMALL_V = 256
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_blank_label(xs, loc, blank: int):
-    """xs (..., V), loc (...,) int32 -> (..., 2): [blank entry, loc entry].
-
-    The forward is a last-axis ``take_along_axis`` plus a static blank slice —
-    measured fastest layout-preserving form on TPU (row-flattened gathers
-    force a relayout and run ~6x slower).
-    """
+    """xs (..., V), loc (...,) int32 -> (..., 2): [blank entry, loc entry]."""
+    V = xs.shape[-1]
     blank_col = xs[..., blank]
-    label_col = jnp.take_along_axis(
-        xs, loc[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    if V <= _SMALL_V:
+        v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
+        label_col = jnp.sum(
+            jnp.where(v_iota == loc[..., None], xs, 0.0), axis=-1
+        )
+    else:
+        label_col = jnp.take_along_axis(
+            xs, loc[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
     return jnp.stack([blank_col, label_col], axis=-1)
 
 
@@ -47,9 +60,7 @@ def _gather_fwd(xs, loc, blank):
 
 def _gather_bwd(blank, res, ct):
     loc, V, dtype_tag = res
-    v_iota = jnp.arange(V, dtype=jnp.int32)
-    v_shape = (1,) * loc.ndim + (V,)
-    v_iota = v_iota.reshape(v_shape)
+    v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
     ct = ct.astype(jnp.float32)
     d_xs = ct[..., 0:1] * (v_iota == blank) + ct[..., 1:2] * (
         v_iota == loc[..., None]
