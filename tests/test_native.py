@@ -1,0 +1,128 @@
+"""Native (C++) CPU runtime: parity with the NumPy oracle, large-config
+fuzzing of the JAX backends, and compact packing utilities."""
+
+import numpy as np
+import pytest
+
+from warp_rnnt_tpu.reference import transduce_batch
+
+import golden
+
+native = pytest.importorskip("warp_rnnt_tpu.reference.native")
+
+try:
+    native._lib()
+    HAVE_NATIVE = True
+except Exception:  # noqa: BLE001  (no compiler in env)
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="no native toolchain")
+
+
+@pytest.mark.parametrize("name", sorted(golden.ALL_PADDED_CASES))
+def test_native_golden(name):
+    case = golden.ALL_PADDED_CASES[name]
+    costs, alphas, betas, grads = native.transduce_batch_native(
+        case["xs"], case["ys"], case["xn"], case["yn"]
+    )
+    np.testing.assert_allclose(costs, case["expected_costs"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(grads, case["expected_grads"], rtol=1e-4, atol=1e-6)
+
+
+def test_native_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    N, T, U, V = 4, 13, 6, 9
+    xs = golden.log_softmax(rng.randn(N, T, U, V))
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = rng.randint(U, T + 1, size=(N,)).astype(np.int32)
+    yn = rng.randint(0, U, size=(N,)).astype(np.int32)
+    c0, a0, b0, g0 = transduce_batch(xs, ys, xn, yn, fastemit_lambda=0.25)
+    c1, a1, b1, g1 = native.transduce_batch_native(xs, ys, xn, yn, fastemit_lambda=0.25)
+    np.testing.assert_allclose(c1, c0, rtol=1e-5)
+    np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-6)
+    valid = np.isfinite(a0)
+    np.testing.assert_allclose(a1[valid], a0[valid], rtol=1e-5, atol=1e-5)
+
+
+def test_jax_backends_vs_native_large():
+    """Fuzz the JAX scan backend on a config too big for the NumPy oracle."""
+    import jax.numpy as jnp
+
+    from warp_rnnt_tpu import rnnt_loss_with_internals
+
+    rng = np.random.RandomState(7)
+    N, T, U, V = 8, 64, 24, 40
+    xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = rng.randint(U, T + 1, size=(N,)).astype(np.int32)
+    yn = rng.randint(1, U, size=(N,)).astype(np.int32)
+
+    exp_costs, _, _, exp_grads = native.transduce_batch_native(xs, ys, xn, yn)
+    costs, grads, _, _ = rnnt_loss_with_internals(
+        jnp.asarray(xs), jnp.asarray(ys), xn, yn, impl="scan"
+    )
+    np.testing.assert_allclose(np.asarray(costs), exp_costs, rtol=5e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads), exp_grads, rtol=5e-4, atol=1e-4)
+
+
+def test_compact_packing_roundtrip():
+    rng = np.random.RandomState(1)
+    N, T, U, V = 3, 9, 5, 7
+    xs = rng.randn(N, T, U, V).astype(np.float32)
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = np.array([9, 6, 8], np.int32)
+    yn = np.array([4, 2, 3], np.int32)
+
+    mem_pref, label_pref, stu, su = native.compact_offsets(xn, yn)
+    assert stu == int(np.sum(xn * (yn + 1)))
+    assert su == int(np.sum(yn))
+    np.testing.assert_array_equal(
+        mem_pref, np.concatenate([[0], np.cumsum(xn * (yn + 1))[:-1]])
+    )
+
+    packed = native.pack_compact(xs, xn, yn)
+    assert packed.shape == (stu, V)
+    expected = np.concatenate(
+        [xs[i, : xn[i], : yn[i] + 1].reshape(-1, V) for i in range(N)]
+    )
+    np.testing.assert_array_equal(packed, expected)
+
+    packed_ys = native.pack_labels(ys, yn)
+    np.testing.assert_array_equal(
+        packed_ys, np.concatenate([ys[i, : yn[i]] for i in range(N)])
+    )
+
+
+def test_compact_scatter_matches_jax():
+    import jax.numpy as jnp
+
+    from warp_rnnt_tpu.functional.compact import (
+        compact_gather,
+        rnnt_loss_compact_with_internals,
+    )
+
+    rng = np.random.RandomState(2)
+    N, T, U, V = 3, 7, 4, 6
+    xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = np.array([7, 5, 6], np.int32)
+    yn = np.array([3, 1, 2], np.int32)
+    packed = native.pack_compact(xs, xn, yn)
+    packed_ys = native.pack_labels(ys, yn)
+
+    costs, grads_jax, loc = rnnt_loss_compact_with_internals(
+        jnp.asarray(packed), jnp.asarray(packed_ys), xn, yn, impl="scan"
+    )
+    # reconstruct the (STU, V) grads via the native scatter from the 2-wide
+    # compact grads (gather channel layout) — should match the JAX path.
+    gathered, loc2 = compact_gather(jnp.asarray(packed), jnp.asarray(packed_ys), xn, yn)
+    np.testing.assert_array_equal(np.asarray(loc), np.asarray(loc2))
+    # derive 2-wide grads by re-projecting the dense ones
+    g = np.asarray(grads_jax)
+    rows = np.arange(g.shape[0])
+    loc_np = np.asarray(loc)
+    g2 = np.stack([g[rows, 0], np.where(loc_np != 0, g[rows, loc_np], 0.0)], axis=1)
+    scattered = native.scatter_compact_grads(
+        g2, loc_np, np.ones((N,), np.float32), xn, yn, V
+    )
+    np.testing.assert_allclose(scattered, g, rtol=1e-5, atol=1e-6)

@@ -1,15 +1,15 @@
 """Reproduce the full reference README benchmark table on TPU.
 
-Writes benchmarks/RESULTS.md with ms/batch for loss+grad (harder than the
-reference's forward-only timing) and forward-only, per config/batch size.
+Each config runs in its own subprocess so an out-of-memory config (e.g.
+N=128, V=5000 needs ~32 GB of HBM for inputs+grads — the reference OOMs at
+N=64 already) cannot poison the later configs' TPU state.
+
+Writes one JSON line per row; `main` aggregates into a results file.
 """
 
 import json
+import subprocess
 import sys
-
-import jax
-
-from warp_rnnt_tpu.benchmarks.bench_loss import run_loss_bench
 
 REFERENCE_GATHER_MS = {
     (150, 40, 28): {1: 0.54, 16: 1.72, 32: 2.94, 64: 5.54, 128: 10.74},
@@ -18,26 +18,49 @@ REFERENCE_GATHER_MS = {
 }
 
 
+def run_one(N, T, U, V, iters):
+    """Entry point used in the per-config subprocess."""
+    from warp_rnnt_tpu.benchmarks.bench_loss import run_loss_bench
+
+    out = {
+        "loss_grad_ms": round(run_loss_bench(N, T, U, V, iters, grad=True), 3),
+        "fwd_ms": round(run_loss_bench(N, T, U, V, iters, grad=False), 3),
+    }
+    print("RESULT " + json.dumps(out))
+
+
 def main(out_path="benchmarks_results.json"):
     results = []
-    dev = jax.devices()[0].device_kind
     for (T, U, V), ref_rows in REFERENCE_GATHER_MS.items():
-        iters = 50 if T * U <= 10000 else 10
+        iters = 30 if T * U <= 10000 else 10
         for N in (1, 16, 32, 64, 128):
             row = {"T": T, "U": U, "V": V, "N": N, "ref_gather_ms": ref_rows[N]}
-            try:
-                row["loss_grad_ms"] = round(
-                    run_loss_bench(N, T, U, V, iters, grad=True), 3
-                )
-                row["fwd_ms"] = round(
-                    run_loss_bench(N, T, U, V, iters, grad=False), 3
-                )
-            except Exception as e:  # noqa: BLE001
-                row["error"] = f"{type(e).__name__}: {e}"[:200]
+            code = (
+                "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
+                f"run_one({N},{T},{U},{V},{iters})"
+            )
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=1200,
+            )
+            parsed = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    parsed = json.loads(line[len("RESULT "):])
+            if parsed is None:
+                err = (proc.stderr or "").strip().splitlines()
+                msg = err[-1][:200] if err else f"exit={proc.returncode}"
+                if "RESOURCE_EXHAUSTED" in proc.stderr:
+                    msg = "OOM (RESOURCE_EXHAUSTED)"
+                row["error"] = msg
+            else:
+                row.update(parsed)
             results.append(row)
             print(json.dumps(row), flush=True)
+    import jax
+
     with open(out_path, "w") as f:
-        json.dump({"device": dev, "rows": results}, f, indent=1)
+        json.dump({"device": jax.devices()[0].device_kind, "rows": results}, f, indent=1)
 
 
 if __name__ == "__main__":
