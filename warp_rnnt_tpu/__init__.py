@@ -10,6 +10,7 @@ from warp_rnnt_tpu.functional import (
     rnnt_core,
     rnnt_core_with_internals,
     rnnt_loss,
+    rnnt_loss_from_logits,
     rnnt_loss_with_internals,
 )
 
@@ -19,6 +20,7 @@ __all__ = [
     "rnnt_core",
     "rnnt_core_with_internals",
     "rnnt_loss",
+    "rnnt_loss_from_logits",
     "rnnt_loss_with_internals",
     "__version__",
 ]
