@@ -1,0 +1,129 @@
+"""TensorFlow front-end for the TPU-native RNN-T loss.
+
+Mirrors the reference TF surface (`tensorflow_binding/warp_rnnt_tf/
+__init__.py:80-131`): same `rnnt_loss` signature/options and a pure-TF
+`gather_log_probs` (the reference reimplements the gather with tile/concat +
+gather_nd, `__init__.py:10-77`; here `tf.gather(batch_dims=...)` does it in
+one op).  Gradients follow the reference contract — computed during the
+forward op, backward multiplies by the reshaped upstream
+(`@ops.RegisterGradient`, `__init__.py:134-148`).
+
+The numerics run in the JAX core via a `tf.py_function` bridge (works in
+eager and inside `tf.function` graphs).  For TPU-resident TF training
+prefer the native JAX API; this shim is migration parity for reference
+users.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import tensorflow as tf
+
+import jax.numpy as jnp
+
+
+def gather_log_probs(log_probs, labels, blank: int = 0):
+    """(N, T, U, V) -> (N, T, U, 2) blank/label lattice, pure TF ops."""
+    shape = tf.shape(log_probs)
+    N, T, U = shape[0], shape[1], shape[2]
+    labels = tf.cast(labels, tf.int32)
+    labels_ext = tf.concat([labels, tf.fill([N, 1], blank)], axis=1)  # (N, U)
+    idx = tf.stack([tf.fill(tf.shape(labels_ext), blank), labels_ext], axis=-1)
+    idx = tf.tile(idx[:, tf.newaxis, :, :], [1, T, 1, 1])  # (N, T, U, 2)
+    return tf.gather(log_probs, idx, batch_dims=3, axis=3)
+
+
+def _compute(xs, ys, xn, yn, blank, fastemit_lambda):
+    from warp_rnnt_tpu.functional.core import rnnt_core_with_internals
+    from warp_rnnt_tpu.functional.loss import _gather_blank_emit
+
+    xs_np = jnp.asarray(xs.numpy())
+    ys_np = jnp.asarray(ys.numpy().astype(np.int32))
+    xn_np = jnp.asarray(xn.numpy().astype(np.int32))
+    yn_np = jnp.asarray(yn.numpy().astype(np.int32))
+    b = int(blank.numpy()) if hasattr(blank, "numpy") else int(blank)
+    lam = float(fastemit_lambda.numpy()) if hasattr(fastemit_lambda, "numpy") else float(fastemit_lambda)
+
+    if b == -1:
+        gathered = xs_np
+    else:
+        gathered = _gather_blank_emit(xs_np, ys_np, b)
+    costs, grads_g, _, _ = rnnt_core_with_internals(gathered, xn_np, yn_np, lam)
+    if b == -1:
+        grads = np.asarray(grads_g)
+    else:
+        N, T, U, V = xs_np.shape
+        g = np.asarray(grads_g)
+        grads = np.zeros((N, T, U, V), np.float32)
+        n_i = np.arange(N)[:, None, None]
+        t_i = np.arange(T)[None, :, None]
+        u_i = np.arange(U)[None, None, :]
+        labels_np = np.asarray(ys_np, dtype=np.int64)
+        loc = np.concatenate(
+            [labels_np, np.full((N, 1), b, np.int64)], axis=1
+        )[:, None, :].repeat(T, axis=1)
+        np.add.at(grads, (n_i, t_i, u_i, np.broadcast_to(b, (N, T, U))), g[..., 0])
+        np.add.at(grads, (n_i, t_i, u_i, loc), g[..., 1])
+    return np.asarray(costs), grads
+
+
+def transducer_loss(log_probs, labels, frames_lengths, labels_lengths,
+                    blank: int = 0, fastemit_lambda: float = 0.0):
+    """Core op: per-sample costs with the reference gradient contract."""
+
+    @tf.custom_gradient
+    def _op(xs):
+        costs, grads = tf.py_function(
+            _compute,
+            [xs, labels, frames_lengths, labels_lengths,
+             tf.constant(blank), tf.constant(fastemit_lambda)],
+            [tf.float32, tf.float32],
+        )
+        costs.set_shape(labels.shape[:1])
+        grads.set_shape(xs.shape)
+
+        def grad_fn(upstream):
+            return tf.reshape(upstream, [-1, 1, 1, 1]) * grads
+
+        return costs, grad_fn
+
+    return _op(log_probs)
+
+
+def rnnt_loss(
+    log_probs,
+    labels,
+    frames_lengths,
+    labels_lengths,
+    average_frames: bool = False,
+    reduction=None,
+    blank: int = 0,
+    gather: bool = False,
+    fastemit_lambda: float = 0.0,
+):
+    """The RNN-Transducer loss (TF front-end, reference-parity signature)."""
+    assert average_frames is None or isinstance(average_frames, bool)
+    assert reduction is None or reduction in ("none", "mean", "sum")
+    assert isinstance(blank, int)
+    assert isinstance(gather, bool)
+
+    if gather and blank != -1:
+        log_probs = gather_log_probs(log_probs, labels, blank)
+        blank = -1
+
+    costs = transducer_loss(
+        log_probs, labels, frames_lengths, labels_lengths, blank, fastemit_lambda
+    )
+
+    if average_frames:
+        costs = costs / tf.cast(frames_lengths, costs.dtype)
+    if reduction in (None, "none"):
+        return costs
+    if reduction == "sum":
+        return tf.reduce_sum(costs)
+    if reduction == "mean":
+        return tf.reduce_mean(costs)
+    raise ValueError(
+        f"Unknown reduction method: {reduction}, expected to be one of"
+        " ['mean', 'sum', 'none']"
+    )
