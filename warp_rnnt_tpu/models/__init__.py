@@ -1,3 +1,4 @@
+from warp_rnnt_tpu.models.decoding import greedy_decode
 from warp_rnnt_tpu.models.joint import Joint
 from warp_rnnt_tpu.models.transducer import (
     Encoder,
@@ -9,6 +10,7 @@ from warp_rnnt_tpu.models.transducer import (
 )
 
 __all__ = [
+    "greedy_decode",
     "Joint",
     "Encoder",
     "Predictor",

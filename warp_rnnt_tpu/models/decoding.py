@@ -1,0 +1,86 @@
+"""Greedy RNN-T decoding (batched, jittable).
+
+Standard greedy transducer search: at lattice cell (t, u) take the argmax of
+the joint; blank advances t, a label emission advances the predictor state
+and appends the token.  A per-frame emission cap (`max_symbols_per_step`)
+bounds the loop so the whole decode is a fixed-trip `lax.fori_loop` under
+jit — no data-dependent Python control flow.
+
+The reference project is loss-only; decoding completes the model tier so the
+framework trains AND serves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def greedy_decode(model, params, feats, xn, max_length: int,
+                  max_symbols_per_step: int = 4, blank: int = 0):
+    """Batched greedy decode.
+
+    Args:
+      model: a `Transducer` (setup-style, with encode/predictor_step/joint_step).
+      params: model variables.
+      feats: (N, T, F) acoustic features.
+      xn: (N,) int32 valid frame counts.
+      max_length: static bound on emitted symbols per utterance.
+      max_symbols_per_step: cap on consecutive non-blank emissions per frame.
+      blank: blank id.
+
+    Returns:
+      tokens (N, max_length) int32 (blank-padded), lengths (N,) int32.
+    """
+    bound = model.bind(params)
+    enc = bound.encode(feats)  # (N, T, H)
+    N, T, _ = enc.shape
+    xn = jnp.asarray(xn, jnp.int32)
+
+    total_steps = T * (max_symbols_per_step) + max_length  # safe static bound
+
+    def body(_, state):
+        t, u, emitted_here, last_tok, pred_state, pred_out, tokens = state
+        active = t < xn
+        f_t = jnp.take_along_axis(
+            enc, jnp.clip(t, 0, T - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        logp = bound.joint_step(f_t, pred_out)  # (N, V)
+        best = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        emit = (
+            active
+            & (best != blank)
+            & (u < max_length)
+            & (emitted_here < max_symbols_per_step)
+        )
+        # append token where emitting
+        tokens = jnp.where(
+            emit[:, None]
+            & (jnp.arange(max_length)[None, :] == u[:, None]),
+            best[:, None],
+            tokens,
+        )
+        # advance predictor state for emitters
+        new_state, new_out = bound.predictor_step(pred_state, best)
+        pred_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(emit[:, None], new, old), new_state, pred_state
+        )
+        pred_out = jnp.where(emit[:, None], new_out, pred_out)
+        u = jnp.where(emit, u + 1, u)
+        emitted_here = jnp.where(emit, emitted_here + 1, 0)
+        t = jnp.where(active & ~emit, t + 1, t)
+        return (t, u, emitted_here, best, pred_state, pred_out, tokens)
+
+    pred_state = bound.predictor_init(N)
+    _, pred_out = bound.predictor_step(pred_state, jnp.full((N,), -1, jnp.int32))
+    init = (
+        jnp.zeros((N,), jnp.int32),  # t
+        jnp.zeros((N,), jnp.int32),  # u (emitted)
+        jnp.zeros((N,), jnp.int32),  # emitted at current frame
+        jnp.full((N,), -1, jnp.int32),  # last token (<sos>)
+        pred_state,
+        pred_out,
+        jnp.full((N, max_length), blank, jnp.int32),
+    )
+    t, u, _, _, _, _, tokens = jax.lax.fori_loop(0, total_steps, body, init)
+    return tokens, u

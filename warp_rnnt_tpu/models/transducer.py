@@ -59,19 +59,35 @@ class Predictor(nn.Module):
     vocab_size: int
     hidden: int = 256
 
-    @nn.compact
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.hidden)
+        self.cell = nn.GRUCell(self.hidden)
+        self.rnn = nn.RNN(self.cell)  # shares self.cell's parameters
+
+    def _embed_token(self, token):
+        """token (N,) int32; negative => <sos> (zero embedding)."""
+        emb = self.embed(jnp.maximum(token, 0))
+        return jnp.where(token[:, None] < 0, 0.0, emb)
+
     def __call__(self, labels):  # (N, U-1) int -> (N, U, H)
         N = labels.shape[0]
-        emb = nn.Embed(self.vocab_size, self.hidden)(labels)
+        emb = self.embed(labels)
         # prepend the <sos>/blank step: row u of the output conditions on
         # labels[< u], so shift right with a zero vector.
         emb = jnp.concatenate(
             [jnp.zeros((N, 1, self.hidden), emb.dtype), emb], axis=1
         )  # (N, U, H)
-        cell = nn.GRUCell(self.hidden)
-        carry = jnp.zeros((N, self.hidden), emb.dtype)
-        scan = nn.RNN(cell, name="gru")
-        return scan(emb, initial_carry=carry)
+        carry = self.initial_state(N)
+        return self.rnn(emb, initial_carry=carry)
+
+    def initial_state(self, N):
+        return jnp.zeros((N, self.hidden), jnp.float32)
+
+    def step(self, carry, token):
+        """One decode step: (carry, token (N,) int; <0 = <sos>) -> (carry, g)."""
+        emb = self._embed_token(token)
+        new_carry, out = self.cell(carry, emb)
+        return new_carry, out
 
 
 class Transducer(nn.Module):
@@ -81,14 +97,29 @@ class Transducer(nn.Module):
     joint_hidden: int = 512
     joint_mode: str = "add"
 
-    @nn.compact
+    def setup(self):
+        self.encoder = Encoder(self.encoder_hidden)
+        self.predictor = Predictor(self.vocab_size, self.predictor_hidden)
+        self.joint = Joint(self.vocab_size, self.joint_hidden, self.joint_mode)
+
     def __call__(self, feats, labels):
         """feats (N, T, F), labels (N, U-1) -> log-probs (N, T, U, V)."""
-        f = Encoder(self.encoder_hidden, name="encoder")(feats)
-        g = Predictor(self.vocab_size, self.predictor_hidden, name="predictor")(labels)
-        return Joint(
-            self.vocab_size, self.joint_hidden, self.joint_mode, name="joint"
-        )(f, g)
+        f = self.encoder(feats)
+        g = self.predictor(labels)
+        return self.joint(f, g)
+
+    def encode(self, feats):
+        return self.encoder(feats)
+
+    def predictor_init(self, N):
+        return self.predictor.initial_state(N)
+
+    def predictor_step(self, carry, token):
+        return self.predictor.step(carry, token)
+
+    def joint_step(self, f_t, g_u):
+        """f_t (N, H), g_u (N, H) -> log-probs (N, V) for one lattice cell."""
+        return self.joint(f_t[:, None, :], g_u[:, None, :])[:, 0, 0, :]
 
 
 def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0):
