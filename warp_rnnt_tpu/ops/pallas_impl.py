@@ -87,6 +87,38 @@ def _scan_bwd(m, b, T_pad):
     return b
 
 
+def _beta_column(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                 beta_c_ref, U: int, T_pad: int):
+    """Shared beta-column body: computes column u = U-1-u_step."""
+    u_step = pl.program_id(0)
+    BN = beta_c_ref.shape[0]
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, T_pad), 1)
+    xn = xn_ref[:, 0:1]
+    yn = yn_ref[:, 0:1]
+    valid_t = t_iota < xn
+
+    u_b = U - 1 - u_step
+    blank_col_b = blank_b_ref[0]
+    emit_col_b = emit_b_ref[0]
+    terminal = (t_iota == xn - 1) & (u_b == yn)
+    emit_ok_b = (u_b < yn) & valid_t
+    prev_beta = jnp.where(u_step == 0, NEG, beta_c_ref[:, :])
+    b = jnp.where(
+        terminal,
+        blank_col_b,
+        jnp.where(emit_ok_b, emit_col_b + prev_beta, NEG),
+    )
+    beta_col = _scan_bwd(blank_col_b, b, T_pad)
+    beta_c_ref[:, :] = beta_col
+    beta_out_ref[0] = beta_col
+
+
+def _beta_only_kernel(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                      beta_c_ref, *, U: int, T_pad: int):
+    _beta_column(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                 beta_c_ref, U, T_pad)
+
+
 def _fused_kernel(
     xn_ref, yn_ref,
     blank_a_ref, emit_a_ref, blank_b_ref, emit_b_ref,
@@ -103,20 +135,8 @@ def _fused_kernel(
     valid_t = t_iota < xn
 
     # ---- beta column (u = U-1-u_step), runs every step --------------------
-    u_b = U - 1 - u_step
-    blank_col_b = blank_b_ref[0]
-    emit_col_b = emit_b_ref[0]
-    terminal = (t_iota == xn - 1) & (u_b == yn)
-    emit_ok_b = (u_b < yn) & valid_t
-    prev_beta = jnp.where(u_step == 0, NEG, beta_c_ref[:, :])
-    b = jnp.where(
-        terminal,
-        blank_col_b,
-        jnp.where(emit_ok_b, emit_col_b + prev_beta, NEG),
-    )
-    beta_col = _scan_bwd(blank_col_b, b, T_pad)
-    beta_c_ref[:, :] = beta_col
-    beta_out_ref[0] = beta_col
+    _beta_column(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                 beta_c_ref, U, T_pad)
 
     # ---- alpha column (u = u_step) ---------------------------------------
     if compute_alpha:
@@ -180,32 +200,51 @@ def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
     kernel = functools.partial(
         _fused_kernel, U=U, T_pad=T_pad, compute_alpha=compute_alpha
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
-        jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
-    ]
-    flops_scan = 2 * U * N_pad * T_pad * (int(math.log2(T_pad)) + 1) * 8
+    sweeps = 2 if compute_alpha else 1
+    flops_scan = sweeps * U * N_pad * T_pad * (int(math.log2(T_pad)) + 1) * 8
     interpret = jax.default_backend() != "tpu"
-    alphas_ut, betas_ut = pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(U,),
-        in_specs=[len_block, len_block, col_block, col_block_prev,
-                  col_block_rev, col_block_rev],
-        out_specs=[col_block, col_block_rev],
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((N_pad, T_pad), jnp.float32),
-            pltpu.VMEM((N_pad, T_pad), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=flops_scan,
-            bytes_accessed=4 * U * N_pad * T_pad * 16,
-            transcendentals=2 * U * N_pad * T_pad * (int(math.log2(T_pad)) + 1),
+            bytes_accessed=sweeps * U * N_pad * T_pad * 4 * 8,
+            transcendentals=sweeps * U * N_pad * T_pad
+            * (int(math.log2(T_pad)) + 1),
         ),
         interpret=interpret,
-    )(xn_col, yn_col, blank_ut, emit_ut, blank_ut, emit_ut)
+    )
+    if compute_alpha:
+        alphas_ut, betas_ut = pl.pallas_call(
+            kernel,
+            in_specs=[len_block, len_block, col_block, col_block_prev,
+                      col_block_rev, col_block_rev],
+            out_specs=[col_block, col_block_rev],
+            out_shape=[
+                jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+                jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((N_pad, T_pad), jnp.float32),
+                pltpu.VMEM((N_pad, T_pad), jnp.float32),
+            ],
+            **common,
+        )(xn_col, yn_col, blank_ut, emit_ut, blank_ut, emit_ut)
+        alphas = jnp.moveaxis(alphas_ut[:, :N, :T], 0, 2)
+    else:
+        # beta-only inference: no alpha input streams, outputs, or scratch
+        beta_kernel = functools.partial(
+            _beta_only_kernel, U=U, T_pad=T_pad
+        )
+        betas_ut = pl.pallas_call(
+            beta_kernel,
+            in_specs=[len_block, len_block, col_block_rev, col_block_rev],
+            out_specs=col_block_rev,
+            out_shape=jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((N_pad, T_pad), jnp.float32)],
+            **common,
+        )(xn_col, yn_col, blank_ut, emit_ut)
+        alphas = None
 
-    alphas = jnp.moveaxis(alphas_ut[:, :N, :T], 0, 2)
     betas = jnp.moveaxis(betas_ut[:, :N, :T], 0, 2)
     return alphas, betas
 
