@@ -5,6 +5,7 @@ synchronized, on random log-softmax inputs."""
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -24,7 +25,11 @@ CONFIGS = [
 def make_batch(key, N, T, U, V, dtype=jnp.float32):
     k1, k2, k3 = jax.random.split(key, 3)
     logits = jax.random.normal(k1, (N, T, U + 1, V), dtype)
-    xs = jax.nn.log_softmax(logits, axis=-1)
+    # donate so logits' HBM is reused for the log-probs (the two tensors are
+    # 11.6 GB each at N=128, T=1500 — both live would not fit)
+    xs = jax.jit(
+        lambda l: jax.nn.log_softmax(l, axis=-1), donate_argnums=0
+    )(logits)
     ys = jax.random.randint(k2, (N, U), 1, V, jnp.int32)
     xn = jnp.full((N,), T, jnp.int32)
     yn = jax.random.randint(k3, (N,), U // 2 + 1, U + 1, jnp.int32)
@@ -43,11 +48,22 @@ def bench_fn(fn, args, iters, warmup=3):
 
 
 def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32):
+    """Mean ms per loss(+grad) call.
+
+    The grad benchmark donates the (N, T, U+1, V) log-prob buffer and feeds
+    each iteration's gradient back as the next iteration's input.  The kernel
+    has no data-dependent control flow so timing is input-independent, and
+    donation models steady-state training memory (in a real train step the
+    log-probs are an intermediate activation, not a held buffer): without it
+    the async dispatch loop keeps two full-size gradient buffers in flight,
+    which is what OOMs first at N=64, T=1500 — the compiled program itself
+    peaks at only 12.4 GB there.
+    """
     key = jax.random.PRNGKey(0)
     xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype)
 
     if grad:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def step(xs):
             val, g = jax.value_and_grad(
                 lambda x: rnnt_loss(
@@ -55,10 +71,19 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32)
                 )
             )(xs)
             return val, g
-    else:
-        @jax.jit
-        def step(xs):
-            return rnnt_loss(xs, ys, xn, yn, reduction="mean", gather=True, impl=impl)
+
+        for _ in range(3):  # warmup/compile
+            _, xs = step(xs)
+        jax.block_until_ready(xs)
+        start = time.perf_counter()
+        for _ in range(iters):
+            _, xs = step(xs)
+        jax.block_until_ready(xs)
+        return (time.perf_counter() - start) / iters * 1000.0
+
+    @jax.jit
+    def step(xs):
+        return rnnt_loss(xs, ys, xn, yn, reduction="mean", gather=True, impl=impl)
 
     return bench_fn(step, (xs,), iters)
 
