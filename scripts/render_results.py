@@ -1,0 +1,61 @@
+"""Render benchmarks_results.json into warp_rnnt_tpu/benchmarks/RESULTS.md.
+
+Usage: python scripts/render_results.py [in.json] [out.md]
+"""
+
+import json
+import sys
+
+
+def main(in_path="benchmarks_results.json",
+         out_path="warp_rnnt_tpu/benchmarks/RESULTS.md"):
+    data = json.load(open(in_path))
+    lines = [
+        "# Benchmark results — reference README table on TPU",
+        "",
+        f"Device: **{data['device']}** (single chip). Reference column: "
+        "warp_rnnt `gather=True` forward-only ms/batch on an RTX 2070 Super "
+        "(`/root/reference/README.md:35-55`).",
+        "",
+        "Our `loss+grad` times jitted `value_and_grad` w.r.t. the full "
+        "`(N, T, U+1, V)` log-prob tensor (input buffer donated — steady-state "
+        "training memory); `fwd` is the beta-only inference sweep "
+        "(no gradients). Each config runs in its own subprocess, serialized.",
+        "",
+        "| T | U | V | N | reference (ms) | loss+grad (ms) | fwd (ms) | speedup |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in data["rows"]:
+        ref = r.get("ref_gather_ms")
+        ref_s = f"{ref:.2f}" if ref else "OOM"
+        if "error" in r:
+            lg = fw = "OOM" if "RESOURCE_EXHAUSTED" in r["error"] else "error"
+            sp = "—"
+        else:
+            lg = f"**{r['loss_grad_ms']:.2f}**"
+            fw = f"{r['fwd_ms']:.2f}"
+            sp = f"{ref / r['loss_grad_ms']:.1f}x" if ref else "∞ (ref OOM)"
+        lines.append(
+            f"| {r['T']} | {r['U']} | {r['V']} | {r['N']} | {ref_s} | {lg} | {fw} | {sp} |"
+        )
+    lines += [
+        "",
+        "Notes:",
+        "",
+        "- The reference number is *forward-only* (its grads are stashed "
+        "w.r.t. the pre-gathered `(N,T,U,2)` lattice; the backward scatter "
+        "into `(N,T,U,V)` is untimed autograd work). Our loss+grad column "
+        "includes that scatter — a strictly harder measurement.",
+        "- Small-N rows are dominated by fixed dispatch overhead "
+        "(~1 ms through the remote-compile tunnel used in this environment).",
+        "- Rows marked OOM exceed single-chip HBM for inputs+grads in fp32; "
+        "the reference OOMs on its 8 GB GPU in the same rows and earlier "
+        "(T=150/U=20/V=5000 at N=64 already OOMs there but runs here).",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path} ({len(data['rows'])} rows)")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
