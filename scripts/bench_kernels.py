@@ -8,8 +8,11 @@ kernel — anything under it is invisible through the remote tunnel).
 Usage: python scripts/bench_kernels.py [N T U]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

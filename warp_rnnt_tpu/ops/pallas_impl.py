@@ -87,91 +87,120 @@ def _scan_bwd(m, b, T_pad):
     return b
 
 
-def _beta_column(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
-                 beta_c_ref, U: int, T_pad: int):
-    """Shared beta-column body: computes column u = U-1-u_step."""
-    u_step = pl.program_id(0)
+def _beta_block(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                beta_c_ref, U_blk: int, BU: int, T_pad: int):
+    """Shared beta body: BU columns u = U_blk-1 - (g*BU + k), k = 0..BU-1.
+
+    The carry scratch must be initialized to NEG at g == 0 by the caller.
+    Columns >= the true U are NEG-padded input; they propagate a NEG carry
+    and are sliced off by the host wrapper.
+    """
+    g = pl.program_id(0)
     BN = beta_c_ref.shape[0]
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, T_pad), 1)
     xn = xn_ref[:, 0:1]
     yn = yn_ref[:, 0:1]
     valid_t = t_iota < xn
+    terminal_t = t_iota == xn - 1
 
-    u_b = U - 1 - u_step
-    blank_col_b = blank_b_ref[0]
-    emit_col_b = emit_b_ref[0]
-    terminal = (t_iota == xn - 1) & (u_b == yn)
-    emit_ok_b = (u_b < yn) & valid_t
-    prev_beta = jnp.where(u_step == 0, NEG, beta_c_ref[:, :])
-    b = jnp.where(
-        terminal,
-        blank_col_b,
-        jnp.where(emit_ok_b, emit_col_b + prev_beta, NEG),
-    )
-    beta_col = _scan_bwd(blank_col_b, b, T_pad)
-    beta_c_ref[:, :] = beta_col
-    beta_out_ref[0] = beta_col
+    for k in range(BU):
+        u_b = U_blk - 1 - (g * BU + k)
+        blank_col_b = blank_b_ref[BU - 1 - k]
+        emit_col_b = emit_b_ref[BU - 1 - k]
+        terminal = terminal_t & (u_b == yn)
+        emit_ok_b = (u_b < yn) & valid_t
+        b = jnp.where(
+            terminal,
+            blank_col_b,
+            jnp.where(emit_ok_b, emit_col_b + beta_c_ref[:, :], NEG),
+        )
+        beta_col = _scan_bwd(blank_col_b, b, T_pad)
+        beta_c_ref[:, :] = beta_col
+        beta_out_ref[BU - 1 - k] = beta_col
 
 
 def _beta_only_kernel(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
-                      beta_c_ref, *, U: int, T_pad: int):
-    _beta_column(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
-                 beta_c_ref, U, T_pad)
+                      beta_c_ref, *, U_blk: int, BU: int, T_pad: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        beta_c_ref[:, :] = jnp.full_like(beta_c_ref[:, :], NEG)
+
+    _beta_block(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                beta_c_ref, U_blk, BU, T_pad)
 
 
 def _fused_kernel(
     xn_ref, yn_ref,
-    blank_a_ref, emit_a_ref, blank_b_ref, emit_b_ref,
+    blank_a_ref, emit_a_ref, emit_ap_ref, blank_b_ref, emit_b_ref,
     alpha_out_ref, beta_out_ref,
     alpha_c_ref, beta_c_ref,
-    *, U: int, T_pad: int, compute_alpha: bool,
+    *, U_blk: int, BU: int, T_pad: int,
 ):
-    u_step = pl.program_id(0)
+    g = pl.program_id(0)
     BN = alpha_c_ref.shape[0]
+
+    @pl.when(g == 0)
+    def _():
+        alpha_c_ref[:, :] = jnp.full_like(alpha_c_ref[:, :], NEG)
+        beta_c_ref[:, :] = jnp.full_like(beta_c_ref[:, :], NEG)
 
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, T_pad), 1)
     xn = xn_ref[:, 0:1]  # (BN, 1)
     yn = yn_ref[:, 0:1]
     valid_t = t_iota < xn
 
-    # ---- beta column (u = U-1-u_step), runs every step --------------------
-    _beta_column(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
-                 beta_c_ref, U, T_pad)
+    # ---- beta columns (descending), run every step ------------------------
+    _beta_block(xn_ref, yn_ref, blank_b_ref, emit_b_ref, beta_out_ref,
+                beta_c_ref, U_blk, BU, T_pad)
 
-    # ---- alpha column (u = u_step) ---------------------------------------
-    if compute_alpha:
-        blank_col_a = blank_a_ref[0]
-        emit_prev_a = emit_a_ref[0]  # column u-1 (dummy at u=0)
-        seed = jnp.where(t_iota == 0, 0.0, NEG)
-        emit_ok_a = ((u_step - 1) < yn) & valid_t
-        prev_alpha = alpha_c_ref[:, :]
+    # ---- alpha columns (ascending) ----------------------------------------
+    seed = jnp.where(t_iota == 0, 0.0, NEG)
+    for k in range(BU):
+        u_a = g * BU + k
+        blank_col_a = blank_a_ref[k]
+        # emit column u-1: inside the block for k >= 1, last column of the
+        # previous block for k == 0 (the g == 0 read is masked by the seed).
+        emit_prev_a = emit_a_ref[k - 1] if k >= 1 else emit_ap_ref[BU - 1]
+        emit_ok_a = ((u_a - 1) < yn) & valid_t
         b_a = jnp.where(
-            u_step == 0,
+            u_a == 0,
             seed,
-            jnp.where(emit_ok_a, prev_alpha + emit_prev_a, NEG),
+            jnp.where(emit_ok_a, alpha_c_ref[:, :] + emit_prev_a, NEG),
         )
         m_a = _shift_right(blank_col_a, 1, 0.0)
         alpha_col = _scan_fwd(m_a, b_a, T_pad)
         alpha_c_ref[:, :] = alpha_col
-        alpha_out_ref[0] = alpha_col
+        alpha_out_ref[k] = alpha_col
+
+
+def _choose_bu(U: int, N_pad: int, T_pad: int) -> int:
+    """Columns per grid step: fewer sequential grid steps and larger DMA
+    chunks, bounded so all VMEM-resident slabs (7 block operands, double
+    buffered, + 2 carries) stay within ~48 MB."""
+    budget = 48 << 20
+    bu = budget // (14 * N_pad * T_pad * 4)
+    return max(1, min(int(bu), 8, U))
 
 
 def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
     """Run the fused column sweep.  Inputs/outputs (N, T, U) fp32.
 
-    Returns (alphas, betas); alphas is garbage (unwritten) when
-    ``compute_alpha=False`` — used by the beta-only inference path.
+    Returns (alphas, betas); alphas is None when ``compute_alpha=False`` —
+    the beta-only inference path.
     """
     N, T, U = blank_lp.shape
     N_pad = _round_up(max(N, 8), 8)
     T_pad = _round_up(max(T, 128), 128)
+    BU = _choose_bu(U, N_pad, T_pad)
+    G = -(-U // BU)
+    U_blk = G * BU
 
-    blank_ut = jnp.full((U, N_pad, T_pad), NEG, jnp.float32)
-    blank_ut = blank_ut.at[:, :N, :T].set(
+    blank_ut = jnp.full((U_blk, N_pad, T_pad), NEG, jnp.float32)
+    blank_ut = blank_ut.at[:U, :N, :T].set(
         jnp.moveaxis(blank_lp.astype(jnp.float32), 2, 0)
     )
-    emit_ut = jnp.full((U, N_pad, T_pad), NEG, jnp.float32)
-    emit_ut = emit_ut.at[:, :N, :T].set(
+    emit_ut = jnp.full((U_blk, N_pad, T_pad), NEG, jnp.float32)
+    emit_ut = emit_ut.at[:U, :N, :T].set(
         jnp.moveaxis(emit_lp.astype(jnp.float32), 2, 0)
     )
     # padded samples get a valid 1x1 lattice so no NaN can arise
@@ -182,70 +211,71 @@ def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
         [yn.astype(jnp.int32), jnp.zeros((N_pad - N,), jnp.int32)]
     )[:, None]
 
-    col_block = pl.BlockSpec(
-        (1, N_pad, T_pad), lambda u: (u, 0, 0), memory_space=pltpu.VMEM
+    blk = pl.BlockSpec(
+        (BU, N_pad, T_pad), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
     )
-    col_block_prev = pl.BlockSpec(
-        (1, N_pad, T_pad),
-        lambda u: (jnp.maximum(u - 1, 0), 0, 0),
+    blk_prev = pl.BlockSpec(
+        (BU, N_pad, T_pad),
+        lambda g: (jnp.maximum(g - 1, 0), 0, 0),
         memory_space=pltpu.VMEM,
     )
-    col_block_rev = pl.BlockSpec(
-        (1, N_pad, T_pad), lambda u: (U - 1 - u, 0, 0), memory_space=pltpu.VMEM
+    blk_rev = pl.BlockSpec(
+        (BU, N_pad, T_pad), lambda g: (G - 1 - g, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     len_block = pl.BlockSpec(
-        (N_pad, 1), lambda u: (0, 0), memory_space=pltpu.VMEM
+        (N_pad, 1), lambda g: (0, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(
-        _fused_kernel, U=U, T_pad=T_pad, compute_alpha=compute_alpha
-    )
     sweeps = 2 if compute_alpha else 1
-    flops_scan = sweeps * U * N_pad * T_pad * (int(math.log2(T_pad)) + 1) * 8
+    flops_scan = sweeps * U_blk * N_pad * T_pad * (int(math.log2(T_pad)) + 1) * 8
     interpret = jax.default_backend() != "tpu"
     common = dict(
-        grid=(U,),
+        grid=(G,),
         cost_estimate=pl.CostEstimate(
             flops=flops_scan,
-            bytes_accessed=sweeps * U * N_pad * T_pad * 4 * 8,
-            transcendentals=sweeps * U * N_pad * T_pad
+            bytes_accessed=sweeps * U_blk * N_pad * T_pad * 4 * 8,
+            transcendentals=sweeps * U_blk * N_pad * T_pad
             * (int(math.log2(T_pad)) + 1),
         ),
         interpret=interpret,
     )
     if compute_alpha:
+        kernel = functools.partial(
+            _fused_kernel, U_blk=U_blk, BU=BU, T_pad=T_pad
+        )
         alphas_ut, betas_ut = pl.pallas_call(
             kernel,
-            in_specs=[len_block, len_block, col_block, col_block_prev,
-                      col_block_rev, col_block_rev],
-            out_specs=[col_block, col_block_rev],
+            in_specs=[len_block, len_block, blk, blk, blk_prev,
+                      blk_rev, blk_rev],
+            out_specs=[blk, blk_rev],
             out_shape=[
-                jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
-                jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+                jax.ShapeDtypeStruct((U_blk, N_pad, T_pad), jnp.float32),
+                jax.ShapeDtypeStruct((U_blk, N_pad, T_pad), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((N_pad, T_pad), jnp.float32),
                 pltpu.VMEM((N_pad, T_pad), jnp.float32),
             ],
             **common,
-        )(xn_col, yn_col, blank_ut, emit_ut, blank_ut, emit_ut)
-        alphas = jnp.moveaxis(alphas_ut[:, :N, :T], 0, 2)
+        )(xn_col, yn_col, blank_ut, emit_ut, emit_ut, blank_ut, emit_ut)
+        alphas = jnp.moveaxis(alphas_ut[:U, :N, :T], 0, 2)
     else:
         # beta-only inference: no alpha input streams, outputs, or scratch
         beta_kernel = functools.partial(
-            _beta_only_kernel, U=U, T_pad=T_pad
+            _beta_only_kernel, U_blk=U_blk, BU=BU, T_pad=T_pad
         )
         betas_ut = pl.pallas_call(
             beta_kernel,
-            in_specs=[len_block, len_block, col_block_rev, col_block_rev],
-            out_specs=col_block_rev,
-            out_shape=jax.ShapeDtypeStruct((U, N_pad, T_pad), jnp.float32),
+            in_specs=[len_block, len_block, blk_rev, blk_rev],
+            out_specs=blk_rev,
+            out_shape=jax.ShapeDtypeStruct((U_blk, N_pad, T_pad), jnp.float32),
             scratch_shapes=[pltpu.VMEM((N_pad, T_pad), jnp.float32)],
             **common,
         )(xn_col, yn_col, blank_ut, emit_ut)
         alphas = None
 
-    betas = jnp.moveaxis(betas_ut[:, :N, :T], 0, 2)
+    betas = jnp.moveaxis(betas_ut[:U, :N, :T], 0, 2)
     return alphas, betas
 
 
