@@ -38,24 +38,23 @@ def main():
     xn = jnp.full((N,), T, jnp.int32)
     yn = jnp.full((N,), U, jnp.int32)
 
-    @jax.jit
+    # Timing methodology: every iteration feeds its gradient back as the
+    # next iteration's (donated) input, so no execution can be elided or
+    # overlapped — the chain is fully serialized by data dependencies (the
+    # kernels have no data-dependent control flow, so timing is input-
+    # independent).  Naive `out = step(x)` loops measure fantasy numbers in
+    # this environment (dropped outputs let the runtime skip queued work).
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(x):
         return jax.value_and_grad(
             lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", gather=True)
         )(x)
 
-    # warmup / compile
-    val, grad = step(log_probs)
-    jax.block_until_ready(grad)
+    from warp_rnnt_tpu.benchmarks.timing import bench_grad_chain
 
-    iters = 50
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            val, grad = step(log_probs)
-        jax.block_until_ready(grad)
-        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
+    best = bench_grad_chain(step, log_probs, iters=50, warmup=3, repeats=3)
 
     print(
         json.dumps(

@@ -2,34 +2,22 @@
 
 Times just the alpha/beta sweep (the sequential-DP hot loop) for the column
 kernel (`ops/pallas_impl`), the diagonal kernel (`ops/pallas_diag`) and the
-pure-XLA scan, plus the jitted dispatch floor of this environment (a trivial
-kernel — anything under it is invisible through the remote tunnel).
+pure-XLA scan.  Uses the dependency-forced scalar-chain methodology from
+`warp_rnnt_tpu.benchmarks.timing` — naive block_until_ready loops measure
+fantasy numbers in this environment.
 
 Usage: python scripts/bench_kernels.py [N T U]
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
-
-def timeit(fn, args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
-    return best
+from warp_rnnt_tpu.benchmarks.timing import bench_scalar_chain
 
 
 def main(N=32, T=1500, U=301):
@@ -41,31 +29,42 @@ def main(N=32, T=1500, U=301):
     xn = jnp.full((N,), T, jnp.int32)
     yn = jnp.full((N,), U - 1, jnp.int32)
 
-    floor = timeit(jax.jit(lambda x: x + 1.0), (jnp.zeros((8, 128)),), iters=100)
-    print(f"dispatch floor (trivial jit): {floor:.3f} ms")
-
     hbm_gb = 4 * N * T * U * 4 / 1e9  # 2 in + 2 out fp32
-    print(f"lattice (N={N}, T={T}, U={U}): {hbm_gb:.2f} GB in+out "
-          f"-> bw floor ~{hbm_gb / 0.8 * 1000 / 1000:.2f} ms @ 800 GB/s")
+    print(f"lattice (N={N}, T={T}, U={U}): {hbm_gb:.2f} GB in+out")
+
+    # pallas_call outputs are opaque to XLA, so a cheap touch of each output
+    # forces the whole kernel; the corner elements depend on the full DP
+    # anyway (beta[0,0] is the loss).
+    def touch(out):
+        a, b = out
+        s = b[:, 0, 0].sum()
+        if a is not None:
+            s = s + a[:, -1, -1].sum()
+        return s
 
     from warp_rnnt_tpu.ops import pallas_diag, pallas_impl
 
     for name, mod in [("column", pallas_impl), ("diag", pallas_diag)]:
-        fb = jax.jit(lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, True))
-        bo = jax.jit(lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, False)[1])
-        ms_fb = timeit(fb, (blank, emit))
-        ms_bo = timeit(bo, (blank, emit))
+        ms_fb = bench_scalar_chain(
+            lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, True),
+            (blank, emit), iters=20, reduce_out=touch)
+        ms_bo = bench_scalar_chain(
+            lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, False),
+            (blank, emit), iters=20, reduce_out=touch)
         print(f"{name:8s} alpha+beta: {ms_fb:7.3f} ms   beta-only: {ms_bo:7.3f} ms")
 
+    # pure-XLA scan: reduce over FULL outputs (partial reductions would let
+    # XLA skip lattice work)
     from warp_rnnt_tpu.functional import scan_impl
 
-    fb = jax.jit(
+    ms = bench_scalar_chain(
         lambda b, e: (
             scan_impl.compute_alphas(b, e, xn, yn),
             scan_impl.compute_betas(b, e, xn, yn),
-        )
-    )
-    print(f"{'xla-scan':8s} alpha+beta: {timeit(fb, (blank, emit)):7.3f} ms")
+        ),
+        (blank, emit), iters=20,
+        reduce_out=lambda out: out[0].sum() + out[1].sum())
+    print(f"{'xla-scan':8s} alpha+beta: {ms:7.3f} ms")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,6 @@ synchronized, on random log-softmax inputs."""
 from __future__ import annotations
 
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -36,29 +35,21 @@ def make_batch(key, N, T, U, V, dtype=jnp.float32):
     return xs, ys, xn, yn
 
 
-def bench_fn(fn, args, iters, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters * 1000.0
-
-
 def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32):
-    """Mean ms per loss(+grad) call.
+    """Mean ms per loss(+grad) call, dependency-forced (see `timing.py`).
 
-    The grad benchmark donates the (N, T, U+1, V) log-prob buffer and feeds
-    each iteration's gradient back as the next iteration's input.  The kernel
-    has no data-dependent control flow so timing is input-independent, and
-    donation models steady-state training memory (in a real train step the
-    log-probs are an intermediate activation, not a held buffer): without it
-    the async dispatch loop keeps two full-size gradient buffers in flight,
-    which is what OOMs first at N=64, T=1500 — the compiled program itself
-    peaks at only 12.4 GB there.
+    grad=True: each iteration's gradient is fed back as the next iteration's
+    donated input — serializes the chain, prevents the runtime from eliding
+    work, and models steady-state training memory (without donation the
+    dispatch loop keeps two full-size gradient buffers in flight, which OOMs
+    at N=64, T=1500 even though the compiled program peaks at 12.4 GB).
+
+    grad=False: a donated scalar accumulator sums every iteration's costs.
     """
+    from warp_rnnt_tpu.benchmarks.timing import (
+        bench_grad_chain, bench_scalar_chain,
+    )
+
     key = jax.random.PRNGKey(0)
     xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype)
 
@@ -72,20 +63,12 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32)
             )(xs)
             return val, g
 
-        for _ in range(3):  # warmup/compile
-            _, xs = step(xs)
-        jax.block_until_ready(xs)
-        start = time.perf_counter()
-        for _ in range(iters):
-            _, xs = step(xs)
-        jax.block_until_ready(xs)
-        return (time.perf_counter() - start) / iters * 1000.0
+        return bench_grad_chain(step, xs, iters)
 
-    @jax.jit
-    def step(xs):
-        return rnnt_loss(xs, ys, xn, yn, reduction="mean", gather=True, impl=impl)
+    def fwd(xs):
+        return rnnt_loss(xs, ys, xn, yn, reduction="none", gather=True, impl=impl)
 
-    return bench_fn(step, (xs,), iters)
+    return bench_scalar_chain(fwd, (xs,), iters, reduce_out=jnp.sum)
 
 
 def main():
