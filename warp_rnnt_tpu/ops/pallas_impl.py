@@ -35,6 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from warp_rnnt_tpu.functional.postprocess import costs_and_grads
 
 NEG = -1.0e30
+# v5e has 128 MB of VMEM; leave headroom for the compiler's own scratch.
+_VMEM_LIMIT = 64 << 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -175,10 +177,12 @@ def _fused_kernel(
 
 def _choose_bu(U: int, N_pad: int, T_pad: int) -> int:
     """Columns per grid step: fewer sequential grid steps and larger DMA
-    chunks, bounded so all VMEM-resident slabs (7 block operands, double
-    buffered, + 2 carries) stay within ~48 MB."""
-    budget = 48 << 20
-    bu = budget // (14 * N_pad * T_pad * 4)
+    chunks.  The VMEM footprint is ~18 slabs of (BU, N_pad, T_pad) fp32
+    (7 input + 2 output block streams, double-buffered) + 2 carries; the
+    pallas_call raises `vmem_limit_bytes` to _VMEM_LIMIT (the default 16 MB
+    scoped limit rejects even BU=1 at N_pad=128, T_pad=1536)."""
+    budget = int(_VMEM_LIMIT * 0.75)
+    bu = budget // (18 * N_pad * T_pad * 4)
     return max(1, min(int(bu), 8, U))
 
 
@@ -238,6 +242,7 @@ def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
             transcendentals=sweeps * U_blk * N_pad * T_pad
             * (int(math.log2(T_pad)) + 1),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
     if compute_alpha:
