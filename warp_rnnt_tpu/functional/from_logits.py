@@ -15,8 +15,10 @@ This path takes raw joint-network logits and:
             where g_lp is the two-nonzero occupancy gradient — one fused
             elementwise pass reading logits and writing d_logits.
 
-Measured ~1.7x faster and ~2 GB lighter than log_softmax + rnnt_loss on the
-large-vocab headline config.
+Measured (dependency-forced timing, single v5e chip): step time within noise
+of log_softmax + rnnt_loss(gather=True), but one full (N, T, U, V) buffer
+lighter — the log-prob tensor is never created, so the largest-V configs fit
+where the unfused path OOMs (e.g. joint + loss at N=128, V=5000).
 """
 
 from __future__ import annotations

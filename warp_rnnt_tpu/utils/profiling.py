@@ -9,7 +9,10 @@ The reference ships NVVP screenshots and uses torch.profiler +
   * `op_breakdown(trace_dir)` — parse the chrome trace and aggregate
     per-op device time (how every kernel in this repo was tuned);
   * `device_memory_stats()` — live HBM usage of the first device;
-  * `timeit(fn, *args)` — block-until-ready wall-clock timing.
+  * `timeit(fn, *args)` — dependency-forced wall-clock timing (see
+    `warp_rnnt_tpu.benchmarks.timing`: naive block_until_ready loops measure
+    fantasy numbers in this environment because the runtime elides queued
+    executions whose outputs are dropped).
 """
 
 from __future__ import annotations
@@ -19,7 +22,6 @@ import contextlib
 import glob
 import gzip
 import json
-import time
 
 import jax
 
@@ -60,13 +62,8 @@ def device_memory_stats(device=None):
 
 
 def timeit(fn, *args, iters: int = 20, warmup: int = 3):
-    """Mean wall-clock ms per call, device-synchronized."""
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1000.0
+    """Mean wall-clock ms per call, every call forced by a data dependency
+    (a donated scalar accumulator sums all of fn's outputs)."""
+    from warp_rnnt_tpu.benchmarks.timing import bench_scalar_chain
+
+    return bench_scalar_chain(fn, args, iters, warmup=warmup)
