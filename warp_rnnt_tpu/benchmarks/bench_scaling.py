@@ -1,9 +1,15 @@
 """Data-parallel scaling benchmark: lattices/s vs device count.
 
-On a pod slice this measures real ICI scaling; on a single host it can run
-against K virtual CPU devices (JAX_PLATFORMS=cpu +
---xla_force_host_platform_device_count=K) to validate the sharding story.
+On a pod slice this measures real ICI scaling — the loss is embarrassingly
+parallel over the batch (per-sample lattices never communicate; the only
+collective is the final scalar pmean), so efficiency should be near-perfect.
 Target (BASELINE.md): >= 90% scaling efficiency from 1 device to N.
+
+On a single host with K VIRTUAL CPU devices (JAX_PLATFORMS=cpu +
+--xla_force_host_platform_device_count=K) this validates that the sharded
+program compiles and matches the single-device loss, but the efficiency
+column is meaningless there: all K "devices" share one CPU's cores, so
+throughput cannot scale.  Real multi-chip numbers require a pod slice.
 """
 
 from __future__ import annotations

@@ -10,6 +10,7 @@ Writes one JSON line per row; `main` aggregates into a results file.
 import json
 import subprocess
 import sys
+import time
 
 REFERENCE_GATHER_MS = {
     (150, 40, 28): {1: 0.54, 16: 1.72, 32: 2.94, 64: 5.54, 128: 10.74},
@@ -39,19 +40,28 @@ def main(out_path="benchmarks_results.json"):
                 "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
                 f"run_one({N},{T},{U},{V},{iters})"
             )
-            proc = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=1200,
-            )
-            parsed = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    parsed = json.loads(line[len("RESULT "):])
-            if parsed is None:
+            # Transient failures are common through the remote-execution
+            # tunnel (stale memory between subprocesses surfaces as
+            # RESOURCE_EXHAUSTED, compile-helper restarts as HTTP 500):
+            # retry with a cooldown before declaring a row failed.
+            parsed, msg = None, None
+            for attempt in range(3):
+                if attempt:
+                    time.sleep(30)
+                proc = subprocess.run(
+                    [sys.executable, "-c", code], capture_output=True,
+                    text=True, timeout=1200,
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("RESULT "):
+                        parsed = json.loads(line[len("RESULT "):])
+                if parsed is not None:
+                    break
                 err = (proc.stderr or "").strip().splitlines()
                 msg = err[-1][:200] if err else f"exit={proc.returncode}"
                 if "RESOURCE_EXHAUSTED" in proc.stderr:
                     msg = "OOM (RESOURCE_EXHAUSTED)"
+            if parsed is None:
                 row["error"] = msg
             else:
                 row.update(parsed)
