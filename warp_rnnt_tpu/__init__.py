@@ -7,6 +7,7 @@ parallelism over device meshes, plus models/benchmarks/tests.
 """
 
 from warp_rnnt_tpu.functional import (
+    rnnt_alignment,
     rnnt_core,
     rnnt_core_with_internals,
     rnnt_loss,
@@ -17,6 +18,7 @@ from warp_rnnt_tpu.functional import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "rnnt_alignment",
     "rnnt_core",
     "rnnt_core_with_internals",
     "rnnt_loss",

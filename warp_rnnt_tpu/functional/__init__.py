@@ -1,8 +1,10 @@
+from warp_rnnt_tpu.functional.alignment import rnnt_alignment
 from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
 from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
 from warp_rnnt_tpu.functional.loss import rnnt_loss, rnnt_loss_with_internals
 
 __all__ = [
+    "rnnt_alignment",
     "rnnt_core",
     "rnnt_core_with_internals",
     "rnnt_loss",
