@@ -1,3 +1,4 @@
+from warp_rnnt_tpu.models.beam_search import beam_decode
 from warp_rnnt_tpu.models.decoding import greedy_decode
 from warp_rnnt_tpu.models.joint import Joint
 from warp_rnnt_tpu.models.transducer import (
@@ -10,6 +11,7 @@ from warp_rnnt_tpu.models.transducer import (
 )
 
 __all__ = [
+    "beam_decode",
     "greedy_decode",
     "Joint",
     "Encoder",
