@@ -1,27 +1,26 @@
 """Trustworthy TPU timing helpers.
 
-Naive timing loops (`for: out = fn(x)` + `block_until_ready`) are WRONG in
-this environment, in both directions:
+Two measurement hazards in this environment, both discovered the hard way:
 
-  * the remote runtime can elide/cancel queued executions whose outputs are
-    dropped before they run — a loop that rebinds `out` each iteration keeps
-    only the last execution's outputs alive, and measured "10 iterations of
-    a 2 GB copy in 0.03 ms" (impossible);
-  * a device->host readback costs ~50 ms of tunnel RTT, so per-iteration
-    synchronization (the reference's `cuda.synchronize()` methodology,
-    `pytorch_binding/benchmark.py:15-48`) would swamp the signal.
+  * ELISION: the remote runtime can skip queued executions whose outputs are
+    dropped before they run.  A naive `for: out = fn(x)` loop keeps only the
+    last output alive and can report "10 iterations of a 2 GB copy in
+    0.03 ms".  Every iteration must be REQUIRED by a data dependency.
+  * CONSTANT SYNC COST: finishing a timed region (block_until_ready or a
+    host readback) costs a ~30-60 ms tunnel round trip, independent of the
+    work.  Dividing one timed loop by its iteration count therefore biases
+    every result up by RTT/iters.
 
-The fix: make every iteration's execution REQUIRED by a data dependency and
-pay one readback at the end, amortized over the iterations:
+The fix for the first is chaining: feed each step's gradient back as the
+next step's (donated) input, or thread a donated scalar accumulator through
+every call.  The fix for the second is TWO-POINT calibration: time the chain
+at two iteration counts and report the marginal cost
 
-  * `bench_grad_chain`: feed each step's gradient back as the next step's
-    (donated) input.  The kernels have no data-dependent control flow, so
-    timing is input-independent; donation also models steady-state training
-    memory (activations are transient in a real train step).
-  * `bench_scalar_chain`: thread a tiny donated accumulator through every
-    call (`acc' = acc + reduce(fn(args))`), serializing iterations without
-    adding measurable work.  For forward/inference benchmarks whose outputs
-    cannot be fed back.
+    ms/iter = (T(iters_hi) - T(iters_lo)) / (iters_hi - iters_lo)
+
+which cancels the constant exactly.  Chains have no cross-iteration overlap
+(each step depends on the previous), so the marginal cost is the true
+serialized per-call device time.
 """
 
 from __future__ import annotations
@@ -33,20 +32,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_grad_chain(step, x0, iters, warmup=3, repeats=2):
-    """step: donated jitted fn x -> (aux, x_like).  Returns best mean ms."""
-    x = x0
-    for _ in range(warmup):
-        _, x = step(x)
-    jax.block_until_ready(x)
+def _two_point(run, iters, repeats):
+    """run(k) executes k chained iterations then syncs; returns best
+    marginal ms/iter over `repeats` (lo, hi) pairs."""
+    lo = max(2, iters // 4)
+    hi = lo + iters
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            _, x = step(x)
-        jax.block_until_ready(x)
-        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
+        run(lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(hi)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (hi - lo) * 1000.0)
     return best
+
+
+def bench_grad_chain(step, x0, iters, warmup=3, repeats=2):
+    """step: donated jitted fn x -> (aux, x_like).  Returns marginal ms/call."""
+    state = {"x": x0}
+    for _ in range(warmup):
+        _, state["x"] = step(state["x"])
+    np.asarray(jnp.ravel(state["x"])[:1])
+
+    def run(k):
+        x = state["x"]
+        for _ in range(k):
+            _, x = step(x)
+        state["x"] = x
+        np.asarray(jnp.ravel(x)[:1])
+
+    return _two_point(run, iters, repeats)
 
 
 def make_scalar_chain(fn, reduce_out=None):
@@ -73,18 +90,18 @@ def make_scalar_chain(fn, reduce_out=None):
 
 
 def bench_scalar_chain(fn, args, iters, warmup=3, repeats=2, reduce_out=None):
-    """Best mean ms/call of `fn(*args)` with dependency-forced iterations."""
+    """Marginal ms/call of `fn(*args)` with dependency-forced iterations."""
     step = make_scalar_chain(fn, reduce_out)
-    acc = jnp.zeros((), jnp.float32)
+    state = {"acc": jnp.zeros((), jnp.float32)}
     for _ in range(warmup):
-        acc = step(acc, *args)
-    jax.block_until_ready(acc)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        state["acc"] = step(state["acc"], *args)
+    np.asarray(state["acc"])
+
+    def run(k):
+        acc = state["acc"]
+        for _ in range(k):
             acc = step(acc, *args)
-        jax.block_until_ready(acc)
+        state["acc"] = acc
         np.asarray(acc)
-        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
-    return best
+
+    return _two_point(run, iters, repeats)
