@@ -34,11 +34,27 @@ import numpy as np
 
 def _two_point(run, iters, repeats):
     """run(k) executes k chained iterations then syncs; returns best
-    marginal ms/iter over `repeats` (lo, hi) pairs."""
-    lo = max(2, iters // 4)
-    hi = lo + iters
-    best = float("inf")
-    for _ in range(repeats):
+    marginal ms/iter over `repeats` (lo, hi) pairs.
+
+    The sync cost is large (~30-60 ms) AND noisy, so the iteration count is
+    grown adaptively until the (T_hi - T_lo) signal comfortably exceeds that
+    noise — otherwise sub-ms per-iter costs drown (and can even come out
+    negative)."""
+    k = max(iters, 4)
+    for _ in range(8):  # growth attempts
+        lo = max(2, k // 4)
+        hi = lo + k
+        t0 = time.perf_counter()
+        run(lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(hi)
+        t_hi = time.perf_counter() - t0
+        if t_hi - t_lo > 0.25 or k >= 4096:
+            break
+        k *= 4
+    best = (t_hi - t_lo) / (hi - lo) * 1000.0
+    for _ in range(repeats - 1):
         t0 = time.perf_counter()
         run(lo)
         t_lo = time.perf_counter() - t0
@@ -46,7 +62,7 @@ def _two_point(run, iters, repeats):
         run(hi)
         t_hi = time.perf_counter() - t0
         best = min(best, (t_hi - t_lo) / (hi - lo) * 1000.0)
-    return best
+    return max(best, 0.0)
 
 
 def bench_grad_chain(step, x0, iters, warmup=3, repeats=2):
