@@ -22,13 +22,30 @@ CONFIGS = [
 
 
 def make_batch(key, N, T, U, V, dtype=jnp.float32):
+    """Random benchmark inputs.
+
+    The log-prob tensor is generated inside ONE jit (normal + log_softmax
+    fused).  Above ~6 GB that fusion needs two resident buffers (normal is
+    re-read by the row reductions, so it materializes; two 11.6 GB buffers
+    would OOM at N=128, T=1500) — there a single-buffer unnormalized
+    surrogate is generated instead.  The loss kernels have no data-dependent
+    control flow, so timing is identical.
+    """
     k1, k2, k3 = jax.random.split(key, 3)
-    logits = jax.random.normal(k1, (N, T, U + 1, V), dtype)
-    # donate so logits' HBM is reused for the log-probs (the two tensors are
-    # 11.6 GB each at N=128, T=1500 — both live would not fit)
-    xs = jax.jit(
-        lambda l: jax.nn.log_softmax(l, axis=-1), donate_argnums=0
-    )(logits)
+    shape = (N, T, U + 1, V)
+    nbytes = 4 * N * T * (U + 1) * V
+    if nbytes <= 6 << 30:
+        xs = jax.jit(
+            lambda k: jax.nn.log_softmax(
+                jax.random.normal(k, shape, dtype), axis=-1
+            )
+        )(k1)
+    else:
+        import math
+
+        xs = jax.jit(
+            lambda k: jax.random.normal(k, shape, dtype) * 0.5 - math.log(V)
+        )(k1)
     ys = jax.random.randint(k2, (N, U), 1, V, jnp.int32)
     xn = jnp.full((N,), T, jnp.int32)
     yn = jax.random.randint(k3, (N,), U // 2 + 1, U + 1, jnp.int32)
