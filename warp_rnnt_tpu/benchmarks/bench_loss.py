@@ -52,7 +52,8 @@ def make_batch(key, N, T, U, V, dtype=jnp.float32):
     return xs, ys, xn, yn
 
 
-def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32):
+def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto",
+                   dtype=jnp.float32, donate=True):
     """Mean ms per loss(+grad) call, dependency-forced (see `timing.py`).
 
     grad=True: each iteration's gradient is fed back as the next iteration's
@@ -71,15 +72,20 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto", dtype=jnp.float32)
     xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype)
 
     if grad:
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step(xs):
-            val, g = jax.value_and_grad(
+        def loss_vg(xs):
+            return jax.value_and_grad(
                 lambda x: rnnt_loss(
                     x, ys, xn, yn, reduction="mean", gather=True, impl=impl
                 )
             )(xs)
-            return val, g
 
+        # Donated chain = lowest memory (input reused for the gradient) —
+        # required for the configs where two log-prob buffers don't fit.
+        # But donation-aliased executions flakily fail through the remote
+        # tunnel (FAILED_PRECONDITION) and the failure poisons the whole
+        # process, so the fallback must come from the CALLER in a fresh
+        # process (run_table flips donate=False on retry).
+        step = jax.jit(loss_vg, donate_argnums=0) if donate else jax.jit(loss_vg)
         return bench_grad_chain(step, xs, iters)
 
     def fwd(xs):

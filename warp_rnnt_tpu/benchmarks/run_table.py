@@ -19,12 +19,14 @@ REFERENCE_GATHER_MS = {
 }
 
 
-def run_one(N, T, U, V, iters):
+def run_one(N, T, U, V, iters, donate=True):
     """Entry point used in the per-config subprocess."""
     from warp_rnnt_tpu.benchmarks.bench_loss import run_loss_bench
 
     out = {
-        "loss_grad_ms": round(run_loss_bench(N, T, U, V, iters, grad=True), 3),
+        "loss_grad_ms": round(
+            run_loss_bench(N, T, U, V, iters, grad=True, donate=donate), 3
+        ),
         "fwd_ms": round(run_loss_bench(N, T, U, V, iters, grad=False), 3),
     }
     print("RESULT " + json.dumps(out))
@@ -36,18 +38,21 @@ def main(out_path="benchmarks_results.json"):
         iters = 30 if T * U <= 10000 else 10
         for N in (1, 16, 32, 64, 128):
             row = {"T": T, "U": U, "V": V, "N": N, "ref_gather_ms": ref_rows[N]}
-            code = (
-                "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
-                f"run_one({N},{T},{U},{V},{iters})"
-            )
             # Transient failures are common through the remote-execution
             # tunnel (stale memory between subprocesses surfaces as
-            # RESOURCE_EXHAUSTED, compile-helper restarts as HTTP 500):
-            # retry with a cooldown before declaring a row failed.
+            # RESOURCE_EXHAUSTED, compile-helper restarts as HTTP 500,
+            # donation-aliased executions as FAILED_PRECONDITION): retry
+            # in a fresh subprocess with a cooldown, switching to the
+            # non-donated chain on the final attempt.
             parsed, msg = None, None
             for attempt in range(3):
                 if attempt:
                     time.sleep(30)
+                donate = attempt < 2
+                code = (
+                    "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
+                    f"run_one({N},{T},{U},{V},{iters},donate={donate})"
+                )
                 proc = subprocess.run(
                     [sys.executable, "-c", code], capture_output=True,
                     text=True, timeout=1200,

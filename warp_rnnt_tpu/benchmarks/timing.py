@@ -66,18 +66,30 @@ def _two_point(run, iters, repeats):
 
 
 def bench_grad_chain(step, x0, iters, warmup=3, repeats=2):
-    """step: donated jitted fn x -> (aux, x_like).  Returns marginal ms/call."""
+    """step: donated jitted fn x -> (aux, x_like).  Returns marginal ms/call.
+
+    The end-of-run sync reads back `aux` (a small fresh output of the final
+    step) rather than the chained buffer: all of a program's outputs
+    materialize together, so this forces the whole chain — and it avoids a
+    tunnel bug where device->host reads derived from a donation-aliased
+    buffer fail with FAILED_PRECONDITION at certain sizes (~1 GB observed).
+    """
+    def sync(aux):
+        leaf = jax.tree_util.tree_leaves(aux)[0]
+        np.asarray(jnp.ravel(leaf)[:1])
+
     state = {"x": x0}
+    aux = None
     for _ in range(warmup):
-        _, state["x"] = step(state["x"])
-    np.asarray(jnp.ravel(state["x"])[:1])
+        aux, state["x"] = step(state["x"])
+    sync(aux)
 
     def run(k):
         x = state["x"]
         for _ in range(k):
-            _, x = step(x)
+            aux, x = step(x)
         state["x"] = x
-        np.asarray(jnp.ravel(x)[:1])
+        sync(aux)
 
     return _two_point(run, iters, repeats)
 
