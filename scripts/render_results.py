@@ -46,12 +46,13 @@ def main(in_path="benchmarks_results.json",
         "w.r.t. the pre-gathered `(N,T,U,2)` lattice; the backward scatter "
         "into `(N,T,U,V)` is untimed autograd work). Our loss+grad column "
         "includes that scatter — a strictly harder measurement.",
-        "- Timing is dependency-forced (each iteration's execution is "
-        "required by the next — see `timing.py`), which carries a measured "
-        "~1.4 ms/iteration serialization floor through this environment's "
-        "remote-execution tunnel (a trivial `x+1` chain times 1.4 ms). The "
-        "reference's local-GPU numbers pay no such penalty, so every row "
-        "here is conservative and the small-N rows are pure floor.",
+        "- Timing is dependency-forced AND two-point calibrated "
+        "(see `timing.py`): every iteration's execution is required by the "
+        "next (the remote runtime elides un-needed queued work), and the "
+        "per-call time is the marginal (T_hi-T_lo)/(iters_hi-iters_lo) "
+        "across two chain lengths, which cancels the environment's "
+        "constant ~30-60 ms sync cost exactly. Chains serialize on data "
+        "dependencies, so the marginal is true per-batch device time.",
         "- Rows marked OOM exceed single-chip HBM for inputs+grads in fp32; "
         "the reference OOMs on its 8 GB GPU in the same rows and earlier "
         "(T=150/U=20/V=5000 at N=64 already OOMs there but runs here).",
