@@ -56,6 +56,20 @@ def main(in_path="benchmarks_results.json",
         "- Rows marked OOM exceed single-chip HBM for inputs+grads in fp32; "
         "the reference OOMs on its 8 GB GPU in the same rows and earlier "
         "(T=150/U=20/V=5000 at N=64 already OOMs there but runs here).",
+        "",
+        "## End-to-end benchmarks (same chip, calibrated timing)",
+        "",
+        "- Lattice sweep alone (N=32, T=1500, U=301): column Pallas kernel "
+        "**1.71 ms** fused alpha+beta / **1.00 ms** beta-only; diagonal "
+        "kernel 5.6 ms; pure-XLA scan 22.1 ms (`scripts/bench_kernels.py`).",
+        "- Joint + loss + backward (N=16, T=150, U=20, V=5000, H=256): "
+        "17.4 ms/step with log_softmax+gather, 19.5 ms with the fused "
+        "from-logits path (one full (N,T,U,V) buffer lighter) "
+        "(`benchmarks/bench_joint.py`).",
+        "- Full training step — conv-GLU encoder + GRU predictor + bf16 "
+        "joint + loss + adamw (N=32, T=400, U=40, V=1024, H=512, 8.2M "
+        "params): **57 ms/step = 562 utts/s** on one chip "
+        "(`benchmarks/bench_train.py`).",
     ]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
