@@ -64,9 +64,35 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / best, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def _run_with_retry():
+    """The remote-execution tunnel flakes (RESOURCE_EXHAUSTED / HTTP 500 /
+    FAILED_PRECONDITION) and a failure poisons the JAX client, so retries
+    must run in fresh subprocesses.  The measurement itself happens in a
+    child ('--child'); the parent just relays the JSON line."""
+    import subprocess
+
+    for attempt in range(3):
+        if attempt:
+            time.sleep(30)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, timeout=1500,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                return
+    sys.stderr.write(proc.stderr[-2000:] + "\n")
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        _run_with_retry()
