@@ -34,8 +34,10 @@ class Joint(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, f, g):
-        """f (N, T, H), g (N, U, H) -> log-probs (N, T, U, V) in fp32."""
+    def __call__(self, f, g, normalize: bool = True):
+        """f (N, T, H), g (N, U, H) -> log-probs (N, T, U, V) in fp32
+        (raw fp32 logits when ``normalize=False`` — pair with
+        `rnnt_loss_from_logits` to skip the log_softmax pass entirely)."""
         f = f.astype(self.compute_dtype)
         g = g.astype(self.compute_dtype)
         if self.mode == "add":
@@ -63,4 +65,5 @@ class Joint(nn.Module):
             kernel_init=kernel_init,
             name="out",
         )(h)
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logits = logits.astype(jnp.float32)
+        return jax.nn.log_softmax(logits, axis=-1) if normalize else logits

@@ -102,11 +102,12 @@ class Transducer(nn.Module):
         self.predictor = Predictor(self.vocab_size, self.predictor_hidden)
         self.joint = Joint(self.vocab_size, self.joint_hidden, self.joint_mode)
 
-    def __call__(self, feats, labels):
-        """feats (N, T, F), labels (N, U-1) -> log-probs (N, T, U, V)."""
+    def __call__(self, feats, labels, normalize: bool = True):
+        """feats (N, T, F), labels (N, U-1) -> log-probs (N, T, U, V)
+        (raw logits when ``normalize=False``)."""
         f = self.encoder(feats)
         g = self.predictor(labels)
-        return self.joint(f, g)
+        return self.joint(f, g, normalize)
 
     def encode(self, feats):
         return self.encoder(feats)
