@@ -66,7 +66,7 @@ def main():
         if i % 50 == 0 or i == args.steps - 1:
             print(f"step {i:4d}  loss {float(loss):.4f}")
 
-    feats, labels, xn, _ = batch
+    feats, labels, xn, yn = batch
     tokens, lengths = greedy_decode(model, params, feats, xn, max_length=U + 2)
     correct = sum(
         int(
@@ -76,6 +76,24 @@ def main():
         for i in range(args.batch)
     )
     print(f"greedy decode: {correct}/{args.batch} sequences exactly recovered")
+
+    from warp_rnnt_tpu import rnnt_alignment
+    from warp_rnnt_tpu.models import beam_decode
+
+    b_tokens, b_lengths, b_scores = beam_decode(
+        model, params, feats, xn, max_length=U + 2, beam_size=4
+    )
+    b_correct = sum(
+        int(b_lengths[i] == U and bool(jnp.all(b_tokens[i, :U] == labels[i])))
+        for i in range(args.batch)
+    )
+    print(f"beam-4 decode: {b_correct}/{args.batch} exactly recovered "
+          f"(mean path log-prob {float(jnp.mean(b_scores)):.3f})")
+
+    log_probs = model.apply(params, feats, labels)
+    _, frames = rnnt_alignment(log_probs, labels, xn, yn)
+    print(f"forced alignment of sample 0: labels {np.asarray(labels[0])} "
+          f"emitted at frames {np.asarray(frames[0])}")
 
 
 if __name__ == "__main__":
