@@ -5,7 +5,6 @@ synchronized, on random log-softmax inputs."""
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

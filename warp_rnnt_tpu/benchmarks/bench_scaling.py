@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from warp_rnnt_tpu.parallel import make_mesh, rnnt_loss_shard_map
+from warp_rnnt_tpu.parallel import rnnt_loss_shard_map
 from warp_rnnt_tpu.utils.profiling import timeit
 
 

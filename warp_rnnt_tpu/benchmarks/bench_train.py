@@ -11,13 +11,11 @@ Usage: python -m warp_rnnt_tpu.benchmarks.bench_train [N] [T] [U] [V]
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from warp_rnnt_tpu.models import init_model, make_train_step

@@ -18,7 +18,6 @@ under GSPMD.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax
