@@ -109,3 +109,35 @@ def test_train_step_sharded_over_mesh():
     opt_state = opt.init(params)
     p, opt_state, loss = step(params, opt_state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_vocab_sharded_loss_and_grad():
+    """Tensor-parallel vocabulary: log-probs sharded over V on a ('data',
+    'model') mesh — the layout a vocab-sharded joint projection produces.
+    GSPMD must partition the blank/label gather (cross-shard index reads)
+    and the dense scatter-back VJP; results must match unsharded exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    xs, ys, xn, yn = _random_batch(2, 8, 10, 4, 8)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    xs_sh = jax.device_put(xs, NamedSharding(mesh, P("data", None, None, "model")))
+    ys_sh = jax.device_put(ys, NamedSharding(mesh, P("data", None)))
+
+    @jax.jit
+    def vg(x):
+        return jax.value_and_grad(
+            lambda z: rnnt_loss(z, ys_sh, xn, yn, reduction="mean", impl="scan")
+        )(x)
+
+    val, grad = vg(xs_sh)
+    ref_val, ref_grad = jax.value_and_grad(
+        lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", impl="scan")
+    )(xs)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(ref_grad), rtol=1e-4, atol=1e-6
+    )
+    # the gradient stays at least batch-sharded (GSPMD may choose to
+    # replicate or re-shard the vocab axis of the output)
+    assert grad.sharding.spec[0] == "data", grad.sharding
