@@ -1,0 +1,94 @@
+"""Alignment-restricted loss: band semantics vs the unrestricted loss,
+the Viterbi path, and gradient support."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from warp_rnnt_tpu import rnnt_alignment, rnnt_loss
+from warp_rnnt_tpu.functional.restricted import rnnt_loss_restricted
+
+import golden
+
+
+def _batch(seed=0, N=4, T=10, U=5, V=7):
+    rng = np.random.RandomState(seed)
+    xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = np.array([10, 8, 10, 7], np.int32)
+    yn = np.array([4, 2, 3, 4], np.int32)
+    return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xn),
+            jnp.asarray(yn))
+
+
+def test_huge_band_equals_unrestricted():
+    xs, ys, xn, yn = _batch()
+    _, frames = rnnt_alignment(xs, ys, xn, yn)
+    unres = rnnt_loss(xs, ys, xn, yn, reduction="none")
+    res = rnnt_loss_restricted(xs, ys, xn, yn, frames,
+                               left_context=1000, right_context=1000,
+                               reduction="none")
+    np.testing.assert_allclose(np.asarray(res), np.asarray(unres), rtol=1e-5)
+
+
+def test_zero_band_recovers_viterbi_path():
+    """With l = r = 0 around the Viterbi alignment exactly one path remains,
+    so the restricted log-likelihood equals the Viterbi path score."""
+    xs, ys, xn, yn = _batch(seed=3)
+    scores, frames = rnnt_alignment(xs, ys, xn, yn)
+    res = rnnt_loss_restricted(xs, ys, xn, yn, frames,
+                               left_context=0, right_context=0,
+                               reduction="none")
+    np.testing.assert_allclose(np.asarray(res), -np.asarray(scores),
+                               rtol=1e-5)
+
+
+def test_restriction_monotone_and_grad_support():
+    xs, ys, xn, yn = _batch(seed=5)
+    _, frames = rnnt_alignment(xs, ys, xn, yn)
+    unres = np.asarray(rnnt_loss(xs, ys, xn, yn, reduction="none"))
+    prev = None
+    for l, r in ((0, 0), (2, 1), (1000, 1000)):
+        cost = np.asarray(
+            rnnt_loss_restricted(xs, ys, xn, yn, frames, l, r,
+                                 reduction="none")
+        )
+        assert np.all(cost >= unres - 1e-5)  # fewer paths -> higher cost
+        if prev is not None:
+            assert np.all(cost <= prev + 1e-5)  # wider band -> lower cost
+        prev = cost
+
+    # gradient support: emit-label entries outside the band get exactly 0
+    l, r = 2, 1
+    grad = jax.grad(
+        lambda z: rnnt_loss_restricted(z, ys, xn, yn, frames, l, r,
+                                       reduction="sum")
+    )(xs)
+    grad = np.asarray(grad)
+    N, T, U, V = grad.shape
+    frames_np = np.asarray(frames)
+    for n in range(N):
+        for u in range(int(yn[n])):
+            lab = int(ys[n, u])
+            for t in range(int(xn[n])):
+                if not (frames_np[n, u] - l <= t <= frames_np[n, u] + r):
+                    assert grad[n, t, u, lab] == 0.0, (n, t, u)
+
+
+def test_restricted_jits_and_takes_gathered_input():
+    xs, ys, xn, yn = _batch(seed=7)
+    _, frames = rnnt_alignment(xs, ys, xn, yn)
+    f = jax.jit(
+        lambda z: rnnt_loss_restricted(z, ys, xn, yn, frames, 3, 2,
+                                       reduction="mean")
+    )
+    assert np.isfinite(float(f(xs)))
+
+    from warp_rnnt_tpu.functional.loss import _gather_blank_emit
+
+    g = _gather_blank_emit(xs, ys, 0)
+    res2 = rnnt_loss_restricted(g, ys, xn, yn, frames, 3, 2,
+                                reduction="none", blank=-1)
+    res1 = rnnt_loss_restricted(xs, ys, xn, yn, frames, 3, 2,
+                                reduction="none")
+    np.testing.assert_allclose(np.asarray(res2), np.asarray(res1), rtol=1e-6)
