@@ -1,6 +1,4 @@
 """Real-TPU validation + timing sweep (run manually; tests use CPU)."""
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,14 +25,11 @@ print("TPU pallas-vs-scan parity OK", flush=True)
 
 
 def timeit(fn, args, iters=30, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1000
+    # dependency-forced, two-point-calibrated (naive loops measure fantasy
+    # numbers here — see warp_rnnt_tpu/benchmarks/timing.py)
+    from warp_rnnt_tpu.benchmarks.timing import bench_scalar_chain
+
+    return bench_scalar_chain(fn, args, iters, warmup=warmup)
 
 
 # ---- headline config -------------------------------------------------------
