@@ -102,3 +102,40 @@ def test_beam_decode_jits():
     assert tok.shape == (4, 8) and ln.shape == (4,) and sc.shape == (4,)
     assert np.all(np.isfinite(np.asarray(sc)))
     assert np.all(np.asarray(ln) <= 8)
+
+
+def test_beam_widths_all_finite():
+    """Dedup must never kill every beam: the best hypothesis survives at
+    every width."""
+    model, params, feats, xn = _setup()
+    for B in (2, 4, 8):
+        _, _, sc = beam_decode(model, params, feats, xn, max_length=6,
+                               beam_size=B, max_symbols_per_step=2)
+        assert np.all(np.isfinite(np.asarray(sc)))
+
+
+def test_dedup_improves_or_preserves_brute_force_exactness():
+    """With dedup, a moderate beam already covers the tiny search space."""
+    import itertools
+
+    model, params, batch = init_model(
+        jax.random.PRNGKey(11), vocab_size=3, feat_dim=6,
+        N=1, T=4, U=3,
+        encoder_hidden=8, predictor_hidden=8, joint_hidden=8,
+    )
+    feats, _, _, _ = batch
+    feats = feats[:1]
+    xn = jnp.asarray([4], jnp.int32)
+
+    best = -np.inf
+    for k in range(0, 3):
+        for seq in itertools.product((1, 2), repeat=k):
+            s = _alignment_score_of(model, params, feats[0], xn[0],
+                                    np.asarray(seq + (0,) * 4), k)
+            best = max(best, s)
+
+    # without dedup this needed B=16; the deduped search space (7 distinct
+    # sequences) fits in B=8
+    _, _, sc = beam_decode(model, params, feats, xn, max_length=2,
+                           beam_size=8, max_symbols_per_step=2)
+    np.testing.assert_allclose(float(sc[0]), best, rtol=2e-5, atol=2e-5)

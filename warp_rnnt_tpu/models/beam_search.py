@@ -17,10 +17,12 @@ of Graves 2012 beam search / TSD):
     * dense `top_k` over the (beam_size * (beam_size+1)) candidates keeps
       `beam_size` hypotheses.
 
-Prefix merging (summing scores of distinct alignments of the same label
-sequence) is intentionally omitted — it requires dynamic hypothesis
-identity; scores are therefore best-alignment (Viterbi-style) scores, the
-usual choice for production transducer decoders.
+Duplicate hypotheses (identical label prefixes reached via different
+expansion orders) are MAX-merged after every selection — the better-scored
+copy survives and the dead slots free up for diversity.  Summing distinct
+alignments of the same sequence (posterior merging) is intentionally
+omitted; scores are best-alignment (Viterbi-style) scores, the usual choice
+for production transducer decoders.
 """
 
 from __future__ import annotations
@@ -138,6 +140,23 @@ def beam_decode(model, params, feats, xn, max_length: int,
             u = jnp.where(emit, u + 1, u)
             # blank/self settles the beam for this frame; emits stay active
             waiting = jnp.where(emit, waiting, frame_on | waiting) & frame_on
+
+            # merge duplicate hypotheses: two beams with identical token
+            # sequences (padding is always `blank`, so full-L equality ==
+            # same prefix) and the same within-frame state are the same
+            # hypothesis — keep the better-scored copy (max-merge, i.e.
+            # Viterbi semantics), NEG out the rest so the slots free up.
+            same_tok = jnp.all(
+                tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1
+            )
+            same = same_tok & (waiting[:, :, None] == waiting[:, None, :])
+            s_i = scores[:, :, None]  # score of beam i
+            s_j = scores[:, None, :]  # score of beam j
+            i_iota = jnp.arange(B)[None, :, None]
+            j_iota = jnp.arange(B)[None, None, :]
+            beats = (s_i > s_j) | ((s_i == s_j) & (i_iota < j_iota))
+            killed = jnp.any(same & beats & (i_iota != j_iota), axis=1)
+            scores = jnp.where(killed, NEG, scores)
 
         waiting = jnp.zeros_like(waiting)  # next frame: all beams active
         return scores, tokens, u, waiting, pred_state, pred_out
