@@ -34,6 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 _SMALL_V = 256
+# NOTE: take_along_axis leaves XLA's fast indexing path once the operand
+# exceeds ~4 GB (measured: 3.0 ms at 4.0 GB -> 10.1 ms at 6.0 GB for the
+# same per-byte work; presumably the 32-bit byte-offset limit).  Chunking
+# the batch axis to stay under it was tried and rejected: the chunk slices
+# force retiled padded copies (+1.7x memory) that OOM compilation at
+# N=128, V=5000.  The >4 GB rows are ones the reference OOMs on anyway.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
