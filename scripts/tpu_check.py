@@ -23,6 +23,24 @@ np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=2e-5, atol=1e-
 np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), rtol=2e-3, atol=1e-4)
 print("TPU pallas-vs-scan parity OK", flush=True)
 
+# ---- adversarial shape sweep (tile/block boundaries) on real hardware -----
+from warp_rnnt_tpu.functional import scan_impl
+from warp_rnnt_tpu.ops import pallas_impl
+
+for (sN, sT, sU) in [(1, 1, 1), (1, 5, 1), (2, 129, 3), (1, 150, 9), (9, 40, 17)]:
+    srng = np.random.RandomState(sN * 1000 + sT * 10 + sU)
+    sb = np.log(srng.rand(sN, sT, sU).astype(np.float32) + 1e-6)
+    se = np.log(srng.rand(sN, sT, sU).astype(np.float32) + 1e-6)
+    sxn = srng.randint(1, sT + 1, size=(sN,)).astype(np.int32); sxn[0] = sT
+    syn = srng.randint(0, sU, size=(sN,)).astype(np.int32); syn[0] = sU - 1
+    a = (jnp.asarray(sb), jnp.asarray(se), jnp.asarray(sxn), jnp.asarray(syn))
+    cs, gbs, ges, _, _ = scan_impl.forward_backward(*a)
+    cp, gbp, gep, _, _ = pallas_impl.forward_backward(*a)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cs), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gbp), np.asarray(gbs), rtol=2e-3, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gep), np.asarray(ges), rtol=2e-3, atol=5e-5)
+print("TPU shape-sweep parity OK", flush=True)
+
 
 def timeit(fn, args, iters=30, warmup=3):
     # dependency-forced, two-point-calibrated (naive loops measure fantasy
