@@ -76,18 +76,27 @@ def _run_with_retry():
     child ('--child'); the parent just relays the JSON line."""
     import subprocess
 
+    last_err = "no attempt produced output"
     for attempt in range(3):
         if attempt:
             time.sleep(30)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, timeout=1500,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a hang is exactly the tunnel flake the retry loop exists for
+            last_err = f"attempt {attempt}: timeout after 1500s"
+            if e.stderr:
+                last_err += "\n" + e.stderr[-2000:]
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
                 return
-    sys.stderr.write(proc.stderr[-2000:] + "\n")
+        last_err = f"attempt {attempt}: exit {proc.returncode}\n" + proc.stderr[-2000:]
+    sys.stderr.write(last_err + "\n")
     sys.exit(1)
 
 

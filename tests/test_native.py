@@ -65,6 +65,31 @@ def test_jax_backends_vs_native_large():
     np.testing.assert_allclose(np.asarray(grads), exp_grads, rtol=5e-4, atol=1e-4)
 
 
+def test_calls_scale_stress_vs_oracle():
+    """Reference `test_calls` scale (N=128, T=100, U=90, random ragged yn,
+    `pytorch_binding/warp_rnnt/test.py:190-212`) — but asserted against the
+    native oracle instead of merely not crashing."""
+    import jax.numpy as jnp
+
+    from warp_rnnt_tpu import rnnt_loss_with_internals
+
+    N, T, U, V = 128, 100, 90, 3
+    for seed in range(2):
+        rng = np.random.RandomState(seed)
+        xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
+        ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+        xn = np.full((N,), T, np.int32)
+        yn = rng.randint(1, U, size=(N,)).astype(np.int32)
+
+        exp_costs, _, _, exp_grads = native.transduce_batch_native(xs, ys, xn, yn)
+        costs, grads, _, _ = rnnt_loss_with_internals(
+            jnp.asarray(xs), jnp.asarray(ys), xn, yn, impl="scan"
+        )
+        assert np.all(np.isfinite(np.asarray(costs)))
+        np.testing.assert_allclose(np.asarray(costs), exp_costs, rtol=5e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(grads), exp_grads, rtol=5e-4, atol=1e-4)
+
+
 def test_compact_packing_roundtrip():
     rng = np.random.RandomState(1)
     N, T, U, V = 3, 9, 5, 7

@@ -75,6 +75,41 @@ def test_restriction_monotone_and_grad_support():
                     assert grad[n, t, u, lab] == 0.0, (n, t, u)
 
 
+def test_infeasible_band_returns_inf_and_zero_grads():
+    """Contract: if the band prunes every path the sample's cost is +inf and
+    its gradients are exactly zero; feasible samples in the same batch are
+    unaffected (see the contract note in functional/restricted.py)."""
+    xs, ys, xn, yn = _batch(seed=11)
+    _, frames = rnnt_alignment(xs, ys, xn, yn)
+    # sample 0: force labels out of order (label 1 at frame 8, label 2 at
+    # frame 0, zero context) -> no monotone path can satisfy both bands
+    frames_bad = np.asarray(frames).copy()
+    frames_bad[0, 0] = 8
+    frames_bad[0, 1:] = 0
+    frames_bad = jnp.asarray(frames_bad)
+
+    costs = np.asarray(
+        rnnt_loss_restricted(xs, ys, xn, yn, frames_bad, 0, 0,
+                             reduction="none")
+    )
+    assert np.isposinf(costs[0])
+    assert np.all(np.isfinite(costs[1:]))
+
+    # the infeasible sample's upstream cotangent is killed by the +inf
+    # where-branch, so its grads are exactly zero and nothing NaNs
+    grads = np.asarray(
+        jax.grad(
+            lambda z: jnp.sum(
+                rnnt_loss_restricted(z, ys, xn, yn, frames_bad, 0, 0,
+                                     reduction="none")
+            )
+        )(xs)
+    )
+    assert np.all(grads[0] == 0.0)
+    assert np.any(grads[1] != 0.0)
+    assert np.all(np.isfinite(grads))
+
+
 def test_restricted_jits_and_takes_gathered_input():
     xs, ys, xn, yn = _batch(seed=7)
     _, frames = rnnt_alignment(xs, ys, xn, yn)

@@ -76,6 +76,56 @@ def test_compact_golden():
     )
 
 
+def test_input_grad_asserts():
+    """Reference parity: labels/lengths must not require grad
+    (`pytorch_binding/warp_rnnt/__init__.py:105-107`)."""
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+    bad_ys = ys.float().requires_grad_(True)
+    with pytest.raises(AssertionError, match="labels does not require gradients"):
+        rnnt_loss(xs, bad_ys, xn, yn)
+    bad_xn = xn.float().requires_grad_(True)
+    with pytest.raises(
+        AssertionError, match="frames_lengths does not require gradients"
+    ):
+        rnnt_loss(xs, ys, bad_xn, yn)
+    bad_yn = yn.float().requires_grad_(True)
+    with pytest.raises(
+        AssertionError, match="labels_lengths does not require gradients"
+    ):
+        rnnt_loss(xs, ys, xn, bad_yn)
+
+
+def test_compact_no_grad_skips_alpha_sweep(monkeypatch):
+    """Under torch.no_grad() the compact path must run the beta-only
+    inference sweep — never the alpha+grads forward-backward (reference
+    `__init__.py:115`, `core_compact.cu:371-378`).  Proven by making the
+    forward-backward entry explode."""
+    import warp_rnnt_tpu.functional.core as core
+
+    def _boom(*a, **k):
+        raise AssertionError("alpha+grads sweep ran under torch.no_grad()")
+
+    monkeypatch.setattr(core, "_forward_backward", _boom)
+
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+    V = xs.size(-1)
+    packed = torch.cat(
+        [xs[i, : xn[i], : yn[i] + 1].reshape(-1, V) for i in range(xs.size(0))]
+    ).contiguous()
+    packed_ys = torch.cat([ys[i, : yn[i]] for i in range(ys.size(0))]).contiguous()
+    packed.requires_grad_(True)
+    with torch.no_grad():
+        costs = rnnt_loss(packed, packed_ys, xn, yn, compact=True)
+    np.testing.assert_allclose(
+        costs.numpy(), case["expected_costs"], rtol=1e-4, atol=2e-5
+    )
+    # ... and with grad enabled the same monkeypatched call must hit it
+    with pytest.raises(AssertionError, match="sweep ran"):
+        rnnt_loss(packed, packed_ys, xn, yn, compact=True)
+
+
 def test_reductions():
     case = golden.FORWARD_BATCH
     xs, ys, xn, yn = _t(case)

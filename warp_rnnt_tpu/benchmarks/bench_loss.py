@@ -32,7 +32,7 @@ def make_batch(key, N, T, U, V, dtype=jnp.float32):
     """
     k1, k2, k3 = jax.random.split(key, 3)
     shape = (N, T, U + 1, V)
-    nbytes = 4 * N * T * (U + 1) * V
+    nbytes = jnp.dtype(dtype).itemsize * N * T * (U + 1) * V
     if nbytes <= 6 << 30:
         xs = jax.jit(
             lambda k: jax.nn.log_softmax(

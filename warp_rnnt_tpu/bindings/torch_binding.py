@@ -106,12 +106,20 @@ def rnnt_loss(
     assert isinstance(blank, int)
     assert isinstance(gather, bool)
 
+    # reference `pytorch_binding/warp_rnnt/__init__.py:105-107`
+    assert not labels.requires_grad, "labels does not require gradients"
+    assert not frames_lengths.requires_grad, "frames_lengths does not require gradients"
+    assert not labels_lengths.requires_grad, "labels_lengths does not require gradients"
+
     _validate(log_probs, labels, frames_lengths, labels_lengths, compact)
 
     if compact:
-        costs = _rnnt_loss_compact_torch(
+        costs = _RNNTLossCompact.apply(
             log_probs, labels, frames_lengths, labels_lengths,
             blank, fastemit_lambda,
+            # inference fast path: beta-only sweep, no alphas/grads — mirrors
+            # `__init__.py:115` + `core_compact.cu:371-378`
+            log_probs.requires_grad and torch.is_grad_enabled(),
         )
     else:
         if gather and blank != -1:
@@ -144,15 +152,30 @@ def rnnt_loss(
 class _RNNTLossCompact(torch.autograd.Function):
     @staticmethod
     def forward(ctx, log_probs, labels, frames_lengths, labels_lengths,
-                blank=0, fastemit_lambda=0.0):
-        from warp_rnnt_tpu.functional.compact import (
-            rnnt_loss_compact_with_internals,
-        )
-
+                blank=0, fastemit_lambda=0.0, requires_grad=True):
         xs = jnp.asarray(log_probs.detach().numpy())
         ys = jnp.asarray(labels.detach().numpy().astype(np.int32))
         xn = frames_lengths.detach().numpy().astype(np.int32)
         yn = labels_lengths.detach().numpy().astype(np.int32)
+
+        if not requires_grad:
+            # beta-only inference sweep: `rnnt_loss_compact_costs` called as
+            # a primal (outside jax.grad) runs the custom_vjp's undifferen-
+            # tiated path — one backward sweep, no alphas, no grads
+            # (reference `core_compact.cu:371-378`, `binding.cpp:186-195`).
+            from warp_rnnt_tpu.functional.compact import rnnt_loss_compact_costs
+
+            costs = rnnt_loss_compact_costs(
+                xs, ys, xn, yn, blank=blank, fastemit_lambda=fastemit_lambda,
+                max_frames=int(xn.max()), max_labels=int(yn.max()),
+            )
+            ctx.grads = None
+            return torch.from_numpy(np.asarray(costs))
+
+        from warp_rnnt_tpu.functional.compact import (
+            rnnt_loss_compact_with_internals,
+        )
+
         costs, grads, _ = rnnt_loss_compact_with_internals(
             xs, ys, xn, yn, blank=blank, fastemit_lambda=fastemit_lambda,
             max_frames=int(xn.max()), max_labels=int(yn.max()),
@@ -167,12 +190,8 @@ class _RNNTLossCompact(torch.autograd.Function):
     def backward(ctx, grads_output):
         # expand per-sample upstream cost grads to packed rows
         starts = torch.cat([torch.zeros(1, dtype=torch.int64), ctx.cumlen[:-1]])
-        sizes = (ctx.cumlen - starts).tolist()
-        per_row = torch.cat(
-            [grads_output[i].repeat(int(s)) for i, s in enumerate(sizes)]
+        per_row = torch.repeat_interleave(grads_output, ctx.cumlen - starts)
+        return (
+            ctx.grads.mul_(per_row.view(-1, 1).to(ctx.grads)),
+            None, None, None, None, None, None,
         )
-        return ctx.grads.mul_(per_row.view(-1, 1).to(ctx.grads)), None, None, None, None, None
-
-
-def _rnnt_loss_compact_torch(log_probs, labels, xn, yn, blank, fastemit_lambda):
-    return _RNNTLossCompact.apply(log_probs, labels, xn, yn, blank, fastemit_lambda)

@@ -92,6 +92,13 @@ def rnnt_loss_restricted(
     xs_masked = jnp.stack([xs_gathered[..., 0], emit], axis=-1)
 
     costs = rnnt_core(xs_masked, xn, yn, fastemit_lambda, impl)
+    # Infeasible-band contract: if the restriction prunes EVERY path (e.g.
+    # the bands force labels out of order), beta[0,0] is the NEG sentinel and
+    # the raw cost comes back ~1e30.  Surface that as +inf — unambiguous and
+    # propagating — and zero the sample's gradients (the jnp.where cotangent
+    # for the inf branch is 0, which kills the whole sample in rnnt_core's
+    # elementwise-multiply backward).  Tested in tests/test_restricted.py.
+    costs = jnp.where(costs < -0.5 * NEG, costs, jnp.inf)
     if average_frames:
         costs = costs / xn.astype(costs.dtype)
     if reduction in (None, "none"):

@@ -120,24 +120,33 @@ def beam_decode(model, params, feats, xn, max_length: int,
                 gather_beams(pred_out, parent),
             )
             scores = new_scores
-            new_tok = jnp.take_along_axis(
-                jnp.take_along_axis(top_ids, parent[..., None], 1),
-                jnp.maximum(kind - 1, 0)[..., None], 2,
-            )[..., 0]  # (N, B)
             emit = kind > 0
-            tokens = jnp.where(
-                emit[..., None] & (jnp.arange(L)[None, None, :] == u[..., None]),
-                new_tok[..., None], tokens,
-            )
-            adv_state, adv_out = pred_step(pred_state, new_tok)
-            pred_state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    emit.reshape((N, B) + (1,) * (new.ndim - 2)), new, old
-                ),
-                adv_state, pred_state,
-            )
-            pred_out = jnp.where(emit[..., None], adv_out, pred_out)
-            u = jnp.where(emit, u + 1, u)
+            if forced:
+                # no expansion is permitted on the forced-blank step
+                # (expandable was zeroed above), so every finite-score
+                # candidate is a settle (kind == 0); only dead NEG beams can
+                # select a label here, and their state is immaterial — skip
+                # the predictor advance and token bookkeeping entirely.
+                emit = jnp.zeros_like(emit)
+            else:
+                new_tok = jnp.take_along_axis(
+                    jnp.take_along_axis(top_ids, parent[..., None], 1),
+                    jnp.maximum(kind - 1, 0)[..., None], 2,
+                )[..., 0]  # (N, B)
+                tokens = jnp.where(
+                    emit[..., None]
+                    & (jnp.arange(L)[None, None, :] == u[..., None]),
+                    new_tok[..., None], tokens,
+                )
+                adv_state, adv_out = pred_step(pred_state, new_tok)
+                pred_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        emit.reshape((N, B) + (1,) * (new.ndim - 2)), new, old
+                    ),
+                    adv_state, pred_state,
+                )
+                pred_out = jnp.where(emit[..., None], adv_out, pred_out)
+                u = jnp.where(emit, u + 1, u)
             # blank/self settles the beam for this frame; emits stay active
             waiting = jnp.where(emit, waiting, frame_on | waiting) & frame_on
 
