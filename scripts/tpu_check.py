@@ -1,4 +1,9 @@
 """Real-TPU validation + timing sweep (run manually; tests use CPU)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +45,87 @@ for (sN, sT, sU) in [(1, 1, 1), (1, 5, 1), (2, 129, 3), (1, 150, 9), (9, 40, 17)
     np.testing.assert_allclose(np.asarray(gbp), np.asarray(gbs), rtol=2e-3, atol=5e-5)
     np.testing.assert_allclose(np.asarray(gep), np.asarray(ges), rtol=2e-3, atol=5e-5)
 print("TPU shape-sweep parity OK", flush=True)
+
+# ---- pallas under sharding (1-device mesh, real partitioned lowering) ------
+from jax.sharding import Mesh
+from warp_rnnt_tpu.parallel import rnnt_loss_shard_map, rnnt_loss_sharded
+
+mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+c_sm = rnnt_loss_shard_map(
+    mesh, jnp.asarray(x), jnp.asarray(ys), xn, yn, reduction="none", impl="pallas"
+)
+np.testing.assert_allclose(np.asarray(c_sm), np.asarray(c_s), rtol=2e-5, atol=1e-5)
+g_sh = jax.jit(
+    jax.grad(
+        lambda z: rnnt_loss_sharded(
+            mesh, z, jnp.asarray(ys), xn, yn, reduction="mean", impl="pallas"
+        )
+    )
+)(jnp.asarray(x))
+g_ref = jax.grad(
+    lambda z: rnnt_loss(z, jnp.asarray(ys), xn, yn, reduction="mean", impl="scan")
+)(jnp.asarray(x))
+np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), rtol=2e-3, atol=1e-4)
+print("TPU sharded-pallas parity OK", flush=True)
+
+# ---- compact (packed) layout on real hardware ------------------------------
+from warp_rnnt_tpu.functional.compact import rnnt_loss_compact_with_internals
+
+rngc = np.random.RandomState(7)
+cxn = np.array([5, 8, 3], np.int32)
+cyn = np.array([2, 4, 1], np.int32)
+R = int(((cxn * (cyn + 1))).sum())
+cV = 13
+cxs = rngc.randn(R, cV).astype(np.float32)
+cxs = cxs - np.log(np.exp(cxs).sum(-1, keepdims=True))
+cys = rngc.randint(1, cV, size=int(cyn.sum())).astype(np.int32)
+for impl in ("scan", "pallas"):
+    cc, cg = rnnt_loss_compact_with_internals(
+        jnp.asarray(cxs), jnp.asarray(cys), jnp.asarray(cxn), jnp.asarray(cyn),
+        blank=0, impl=impl,
+    )[:2]
+    if impl == "scan":
+        cc_ref, cg_ref = np.asarray(cc), np.asarray(cg)
+    else:
+        np.testing.assert_allclose(np.asarray(cc), cc_ref, rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cg), cg_ref, rtol=2e-3, atol=1e-4)
+print("TPU compact parity OK", flush=True)
+
+# ---- restricted (alignment-band) loss on real hardware ---------------------
+from warp_rnnt_tpu.functional.restricted import rnnt_loss_restricted
+
+rngr = np.random.RandomState(9)
+lf = np.sort(
+    rngr.randint(0, x.shape[1], size=(x.shape[0], x.shape[2] - 1)), axis=1
+).astype(np.int32)
+for impl in ("scan", "pallas"):
+    cr = rnnt_loss_restricted(
+        jnp.asarray(x), jnp.asarray(ys), xn, yn, jnp.asarray(lf),
+        left_context=5, right_context=5, impl=impl,
+    )
+    if impl == "scan":
+        cr_ref = np.asarray(cr)
+    else:
+        np.testing.assert_allclose(np.asarray(cr), cr_ref, rtol=2e-4, atol=1e-4)
+print("TPU restricted parity OK", flush=True)
+
+# ---- flat3d gather formulation (the >4 GiB path, forced at check size) -----
+from warp_rnnt_tpu.functional import gather as _gather_mod
+
+_orig_thresh = _gather_mod._FLAT3D_BYTES
+_orig_small = _gather_mod._SMALL_V
+_gather_mod._FLAT3D_BYTES = 0
+_gather_mod._SMALL_V = 0
+try:
+    c_f, g_f, _, _ = rnnt_loss_with_internals(
+        jnp.asarray(x), jnp.asarray(ys), xn, yn, impl="pallas"
+    )
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_s), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=2e-3, atol=1e-4)
+finally:
+    _gather_mod._FLAT3D_BYTES = _orig_thresh
+    _gather_mod._SMALL_V = _orig_small
+print("TPU flat3d-gather parity OK", flush=True)
 
 
 def timeit(fn, args, iters=30, warmup=3):

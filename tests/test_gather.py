@@ -1,0 +1,78 @@
+"""Unit tests for the blank/label gather formulations.
+
+Covers the three forward formulations in `warp_rnnt_tpu.functional.gather`
+(small-V compare-mask, large-V take_along_axis, >4 GiB flattened-3D) and the
+shared dense compare-select VJP.  The flat3d path is engaged by shrinking the
+byte threshold — on CPU nothing real is 4 GiB.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warp_rnnt_tpu.functional import gather
+from warp_rnnt_tpu.functional.gather import gather_blank_label
+
+
+def _make(N=3, T=7, U=5, V=300, blank=0, seed=0):
+    rng = np.random.RandomState(seed)
+    xs = jnp.asarray(rng.randn(N, T, U, V).astype(np.float32))
+    labels_ext = rng.randint(0, V, size=(N, U)).astype(np.int32)
+    labels_ext[:, -1] = blank  # terminal rows gather the blank twice
+    loc = jnp.broadcast_to(jnp.asarray(labels_ext)[:, None, :], (N, T, U))
+    return xs, loc
+
+
+def _reference(xs, loc, blank):
+    xs, loc = np.asarray(xs), np.asarray(loc)
+    out = np.stack(
+        [xs[..., blank], np.take_along_axis(xs, loc[..., None], axis=-1)[..., 0]],
+        axis=-1,
+    )
+    return out
+
+
+@pytest.mark.parametrize("V,blank", [(300, 0), (300, 7), (32, 0)])
+def test_flat3d_matches_default(monkeypatch, V, blank):
+    xs, loc = _make(V=V, blank=blank)
+    want = gather_blank_label(xs, loc, blank)
+    monkeypatch.setattr(gather, "_FLAT3D_BYTES", 0)
+    monkeypatch.setattr(gather, "_SMALL_V", 0)
+    assert gather._use_flat3d(xs, loc)
+    got = gather_blank_label(xs, loc, blank)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(got), _reference(xs, loc, blank), rtol=0, atol=0
+    )
+
+
+def test_flat3d_grads_match(monkeypatch):
+    xs, loc = _make()
+    f = lambda x: jnp.sum(gather_blank_label(x, loc, 0) ** 2)
+    want = jax.grad(f)(xs)
+    monkeypatch.setattr(gather, "_FLAT3D_BYTES", 0)
+    monkeypatch.setattr(gather, "_SMALL_V", 0)
+    got = jax.grad(f)(xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=0)
+
+
+def test_flat3d_not_engaged_for_small_or_non4d():
+    xs, loc = _make()
+    assert not gather._use_flat3d(xs, loc)  # tiny operand
+    xs2 = jnp.zeros((10, 500), jnp.float32)  # compact-style (R, V)
+    loc2 = jnp.zeros((10,), jnp.int32)
+    assert not gather._use_flat3d(xs2, loc2)
+
+
+def test_terminal_blank_rows_accumulate_grads():
+    # loc == blank rows must receive ct[...,0] + ct[...,1] at the blank col
+    xs, loc = _make(V=12, blank=3)
+    loc = jnp.full_like(loc, 3)
+    out, vjp = jax.vjp(lambda x: gather_blank_label(x, loc, 3), xs)
+    ct = jnp.ones_like(out)
+    (dxs,) = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dxs[..., 3]), 2.0)
+    mask = np.ones(dxs.shape[-1], bool)
+    mask[3] = False
+    np.testing.assert_allclose(np.asarray(dxs[..., mask]), 0.0)

@@ -72,6 +72,44 @@ def test_gspmd_sharded_loss_and_grad():
     )
 
 
+def test_shard_map_loss_pallas_impl():
+    """The pallas kernel (interpret mode off-TPU) inside shard_map — the
+    partitioned path a real multi-chip run takes with impl='auto'."""
+    xs, ys, xn, yn = _random_batch(2, 8, 12, 5, 7)
+    mesh = make_mesh()
+    ref = rnnt_loss(xs, ys, xn, yn, impl="scan")
+    costs = rnnt_loss_shard_map(
+        mesh, xs, ys, xn, yn, reduction="none", impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gspmd_sharded_loss_and_grad_pallas_impl():
+    """GSPMD-partitioned pallas loss + grad matches single-device scan."""
+    xs, ys, xn, yn = _random_batch(3, 8, 10, 4, 6)
+    mesh = make_mesh()
+    xs_sh, ys_sh = shard_batch(mesh, (xs, ys))
+
+    @jax.jit
+    def vg(x):
+        return jax.value_and_grad(
+            lambda z: rnnt_loss_sharded(
+                mesh, z, ys_sh, xn, yn, reduction="mean", impl="pallas"
+            )
+        )(x)
+
+    loss, grads = vg(xs_sh)
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", impl="scan")
+    )(xs)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(ref_grads), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_transducer_forward_and_train_step():
     model, params, batch = init_model(
         jax.random.PRNGKey(0), vocab_size=16, feat_dim=20, N=4, T=12, U=4,

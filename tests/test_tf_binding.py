@@ -82,6 +82,84 @@ def test_inside_tf_function():
     )
 
 
+def test_bridge_path_matches_graph_path():
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+    with tf.GradientTape(persistent=True) as tape:
+        tape.watch(xs)
+        cg = rnnt_loss(xs, ys, xn, yn, graph=True)
+        cb = rnnt_loss(xs, ys, xn, yn, graph=False)
+        sg, sb = tf.reduce_sum(cg), tf.reduce_sum(cb)
+    np.testing.assert_allclose(cg.numpy(), cb.numpy(), rtol=1e-5, atol=1e-6)
+    gg = tape.gradient(sg, xs)
+    gb = tape.gradient(sb, xs)
+    np.testing.assert_allclose(gg.numpy(), gb.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_jit_compile():
+    """The graph path must survive XLA compilation (the reference's
+    registered-op capability the py_function bridge lacks)."""
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+
+    @tf.function(jit_compile=True)
+    def f(x):
+        with tf.GradientTape() as tape:
+            tape.watch(x)
+            total = tf.reduce_sum(rnnt_loss(x, ys, xn, yn))
+        return total, tape.gradient(total, x)
+
+    total, grads = f(xs)
+    np.testing.assert_allclose(
+        float(total.numpy()), np.sum(case["expected_costs"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        grads.numpy(), case["expected_grads"], rtol=1e-4, atol=2e-5
+    )
+
+
+def test_shape_polymorphism_one_conversion_many_batch_sizes():
+    """One cached conversion serves every batch size at a given (T, U, V)."""
+    from warp_rnnt_tpu.bindings.tf_binding import _graph_core
+
+    _graph_core.cache_clear()
+    rng = np.random.RandomState(0)
+    for N, T, U, V in [(2, 6, 4, 9), (5, 6, 4, 9)]:
+        x = rng.randn(N, T, U, V).astype(np.float32)
+        x = x - np.log(np.sum(np.exp(x), axis=-1, keepdims=True))
+        ys = rng.randint(1, V, (N, U - 1)).astype(np.int32)
+        xn = np.full((N,), T, np.int32)
+        yn = np.full((N,), U - 1, np.int32)
+        costs = rnnt_loss(tf.constant(x), ys, xn, yn).numpy()
+        ref = rnnt_loss(tf.constant(x), ys, xn, yn, graph=False).numpy()
+        np.testing.assert_allclose(costs, ref, rtol=1e-5, atol=1e-6)
+    assert _graph_core.cache_info().misses == 1
+
+
+def test_saved_model_round_trip(tmp_path):
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+
+    class Mod(tf.Module):
+        @tf.function(
+            input_signature=[tf.TensorSpec(xs.shape, tf.float32)]
+        )
+        def __call__(self, x):
+            return rnnt_loss(x, ys, xn, yn, reduction="none")
+
+    mod = Mod()
+    want = mod(xs).numpy()
+    path = str(tmp_path / "rnnt_sm")
+    tf.saved_model.save(
+        mod, path,
+        options=tf.saved_model.SaveOptions(experimental_custom_gradients=True),
+    )
+    loaded = tf.saved_model.load(path)
+    got = loaded(xs).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, case["expected_costs"], rtol=1e-4, atol=2e-5)
+
+
 def test_reductions_and_average_frames():
     case = golden.FORWARD_BATCH
     xs, ys, xn, yn = _t(case)

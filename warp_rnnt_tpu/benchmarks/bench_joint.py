@@ -24,19 +24,30 @@ from warp_rnnt_tpu.models.joint import Joint
 from warp_rnnt_tpu.utils.profiling import device_memory_stats, timeit
 
 
-def make_inputs(key, N, T, U, H):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+def make_inputs(key, N, T, U, H, rand_length=False):
+    import numpy as np
+
+    k1, k2, k3 = jax.random.split(key, 3)
     f = jax.random.normal(k1, (N, T, H), jnp.float32)
     g = jax.random.normal(k2, (N, U + 1, H), jnp.float32)
     ys = jax.random.randint(k3, (N, U), 1, 2, jnp.int32)
-    xn = jnp.full((N,), T, jnp.int32)
-    yn = jnp.full((N,), U, jnp.int32)
+    if rand_length:
+        # host-side lengths (compact packing needs static row counts)
+        rng = np.random.RandomState(0)
+        xn = jnp.asarray(rng.randint(T // 2, T + 1, size=N), jnp.int32)
+        yn = jnp.asarray(rng.randint(U // 2, U + 1, size=N), jnp.int32)
+    else:
+        xn = jnp.full((N,), T, jnp.int32)
+        yn = jnp.full((N,), U, jnp.int32)
     return f, g, ys, xn, yn
 
 
-def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits"):
+def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
+                rand_length=False):
+    import numpy as np
+
     key = jax.random.PRNGKey(0)
-    f, g, ys, xn, yn = make_inputs(key, N, T, U, H)
+    f, g, ys, xn, yn = make_inputs(key, N, T, U, H, rand_length)
     joint = Joint(vocab_size=V, hidden=H)
     params = joint.init(jax.random.PRNGKey(1), f, g)
 
@@ -49,6 +60,33 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits"):
         def loss_fn(p, f, g):
             lp = joint.apply(p, f, g)  # log_probs == logits - logZ, logZ folded
             return rnnt_loss_from_logits(lp, ys, xn, yn, reduction="mean")
+    elif mode == "compact":
+        # packed joint + packed loss: only the sum(xn_i * (yn_i+1)) valid
+        # lattice cells are ever computed — the reference's
+        # `requires_packing_` + compact=True comparison
+        # (`pytorch_binding/benchmark2.py:120-136`).
+        xn_h, yn_h = np.asarray(xn), np.asarray(yn)
+        n_idx = np.concatenate([
+            np.full(t * (u + 1), i, np.int32)
+            for i, (t, u) in enumerate(zip(xn_h, yn_h))
+        ])
+        t_idx = np.concatenate([
+            np.repeat(np.arange(t, dtype=np.int32), u + 1)
+            for t, u in zip(xn_h, yn_h)
+        ])
+        u_idx = np.concatenate([
+            np.tile(np.arange(u + 1, dtype=np.int32), t)
+            for t, u in zip(xn_h, yn_h)
+        ])
+        ys_packed = jnp.concatenate([ys[i, : yn_h[i]] for i in range(N)])
+        n_idx, t_idx, u_idx = map(jnp.asarray, (n_idx, t_idx, u_idx))
+
+        def loss_fn(p, f, g):
+            lp = joint.apply(p, f[n_idx, t_idx], g[n_idx, u_idx])  # (STU, V)
+            return rnnt_loss(
+                lp, ys_packed, xn, yn, reduction="mean", compact=True,
+                max_frames=T, max_labels=U,
+            )
     else:
         raise ValueError(mode)
 
@@ -56,12 +94,21 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits"):
     ms = timeit(step, params, f, g, iters=20)
     mem = device_memory_stats().get("peak_bytes_in_use", 0) / 2**20
     return {"mode": mode, "N": N, "T": T, "U": U, "V": V, "H": H,
+            "rand_length": bool(rand_length),
             "step_ms": round(ms, 3), "peak_hbm_mb": round(mem, 1)}
 
 
 def main():
-    for mode in ("log_softmax+gather", "from_logits"):
-        print(json.dumps(bench_joint(mode=mode)), flush=True)
+    import sys
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else None
+    rand_length = "--rand-length" in sys.argv
+    modes = (mode,) if mode and not mode.startswith("--") else (
+        "log_softmax+gather", "from_logits", "compact",
+    )
+    for m in modes:
+        print(json.dumps(bench_joint(mode=m, rand_length=rand_length)),
+              flush=True)
 
 
 if __name__ == "__main__":

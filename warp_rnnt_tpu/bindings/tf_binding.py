@@ -8,13 +8,26 @@ one op).  Gradients follow the reference contract — computed during the
 forward op, backward multiplies by the reshaped upstream
 (`@ops.RegisterGradient`, `__init__.py:134-148`).
 
-The numerics run in the JAX core via a `tf.py_function` bridge (works in
-eager and inside `tf.function` graphs).  For TPU-resident TF training
-prefer the native JAX API; this shim is migration parity for reference
-users.
+Two execution paths:
+
+* graph-native (default): the JAX core is staged into the TF graph via
+  `jax2tf.convert(..., with_gradient=True)` — a real TF op (XlaCallModule)
+  that works under `tf.function(jit_compile=True)`, inside SavedModels, and
+  on TF-TPU, matching the deployability of the reference's registered
+  OpKernel (`tensorflow_binding/binding.cpp:31-44`).  Converted functions
+  are cached per (V, blank, fastemit_lambda) with batch/time/label dims
+  symbolic, and serialized for both cpu and tpu.
+* `tf.py_function` bridge (fallback, `graph=False`): host round-trip into
+  the JAX runtime; works in eager and plain `tf.function` graphs but not
+  under XLA compilation.
+
+For TPU-resident TF training the graph-native path is preferred; the JAX
+API remains the primary surface.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import tensorflow as tf
@@ -67,6 +80,53 @@ def _compute(xs, ys, xn, yn, blank, fastemit_lambda):
     return np.asarray(costs), grads
 
 
+@functools.lru_cache(maxsize=None)
+def _graph_core(T: int, U: int, V: int, blank: int, fastemit_lambda: float):
+    """jax2tf-converted core: (xs, ys, xn, yn) -> costs, differentiable
+    w.r.t. xs.  T/U/V are concrete (the core's associative scans need
+    constant extents and backend selection branches on V); the batch dim is
+    symbolic, so one conversion serves every batch size at a given lattice
+    geometry — the natural unit for bucketed speech pipelines.  The
+    StableHLO is serialized for cpu AND tpu so a SavedModel runs on
+    either."""
+    from jax.experimental import jax2tf
+
+    from warp_rnnt_tpu.functional.core import rnnt_core
+    from warp_rnnt_tpu.functional.loss import _gather_blank_emit
+
+    def fn(xs, ys, xn, yn):
+        if blank == -1:
+            gathered = xs
+        else:
+            gathered = _gather_blank_emit(xs, ys, blank)
+        return rnnt_core(gathered, xn, yn, fastemit_lambda, "scan")
+
+    lab_u = U if blank == -1 else U - 1
+    return jax2tf.convert(
+        fn,
+        with_gradient=True,
+        polymorphic_shapes=[
+            f"(n, {T}, {U}, {V})", f"(n, {lab_u})", "(n,)", "(n,)",
+        ],
+        native_serialization_platforms=("cpu", "tpu"),
+    )
+
+
+def transducer_loss_graph(log_probs, labels, frames_lengths, labels_lengths,
+                          blank: int = 0, fastemit_lambda: float = 0.0):
+    """Graph-native core op (XlaCallModule): per-sample costs, with true TF
+    gradients w.r.t. log_probs.  Usable under jit_compile and in
+    SavedModels."""
+    T, U, V = (int(d) for d in log_probs.shape[1:])
+    core = _graph_core(T, U, V, blank, float(fastemit_lambda))
+    return core(
+        log_probs,
+        tf.cast(labels, tf.int32),
+        tf.cast(frames_lengths, tf.int32),
+        tf.cast(labels_lengths, tf.int32),
+    )
+
+
 def transducer_loss(log_probs, labels, frames_lengths, labels_lengths,
                     blank: int = 0, fastemit_lambda: float = 0.0):
     """Core op: per-sample costs with the reference gradient contract."""
@@ -100,20 +160,35 @@ def rnnt_loss(
     blank: int = 0,
     gather: bool = False,
     fastemit_lambda: float = 0.0,
+    graph: bool = True,
 ):
-    """The RNN-Transducer loss (TF front-end, reference-parity signature)."""
+    """The RNN-Transducer loss (TF front-end, reference-parity signature).
+
+    graph=True (default) stages the loss as a native TF graph op (see module
+    docstring); graph=False uses the py_function bridge.  The graph path
+    needs a statically-known vocabulary dim; if it is unknown the bridge is
+    used automatically.
+    """
     assert average_frames is None or isinstance(average_frames, bool)
     assert reduction is None or reduction in ("none", "mean", "sum")
     assert isinstance(blank, int)
     assert isinstance(gather, bool)
 
-    if gather and blank != -1:
-        log_probs = gather_log_probs(log_probs, labels, blank)
-        blank = -1
-
-    costs = transducer_loss(
-        log_probs, labels, frames_lengths, labels_lengths, blank, fastemit_lambda
-    )
+    if graph and None not in log_probs.shape[1:]:
+        # The converted JAX core gathers internally with a dense-VJP
+        # formulation; pre-gathering in TF would only add a scatter.
+        costs = transducer_loss_graph(
+            log_probs, labels, frames_lengths, labels_lengths, blank,
+            fastemit_lambda,
+        )
+    else:
+        if gather and blank != -1:
+            log_probs = gather_log_probs(log_probs, labels, blank)
+            blank = -1
+        costs = transducer_loss(
+            log_probs, labels, frames_lengths, labels_lengths, blank,
+            fastemit_lambda,
+        )
 
     if average_frames:
         costs = costs / tf.cast(frames_lengths, costs.dtype)

@@ -92,14 +92,15 @@ def _rnnt_core_fwd(xs_gathered, xn, yn, fastemit_lambda, impl):
         blank_lp, emit_lp, xn, yn, fastemit_lambda, impl
     )
     grads = jnp.stack([g_blank, g_emit], axis=-1).astype(xs_gathered.dtype)
-    return costs, (grads, xn.shape, yn.shape)
+    return costs, (grads,)
 
 
 def _rnnt_core_bwd(fastemit_lambda, impl, res, ct):
-    grads, xn_shape, yn_shape = res
+    # None cotangents for the integer length args (symbolic-shape safe —
+    # np.zeros(float0) cannot express a polymorphic batch dim under export).
+    (grads,) = res
     d_xs = grads * ct[:, None, None, None].astype(grads.dtype)
-    f0 = jax.dtypes.float0
-    return d_xs, np.zeros(xn_shape, dtype=f0), np.zeros(yn_shape, dtype=f0)
+    return d_xs, None, None
 
 
 rnnt_core.defvjp(_rnnt_core_fwd, _rnnt_core_bwd)

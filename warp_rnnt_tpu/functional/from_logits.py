@@ -72,11 +72,11 @@ def _fwd(logits, labels, xn, yn, blank, fastemit_lambda, impl):
     costs, g_blank, g_emit, _, _ = _forward_backward(
         blank_lp, emit_lp, xn, yn, fastemit_lambda, impl
     )
-    return costs, (logits, loc, logZ, g_blank, g_emit, labels.shape, xn.shape, yn.shape)
+    return costs, (logits, loc, logZ, g_blank, g_emit)
 
 
 def _bwd(blank, fastemit_lambda, impl, res, ct):
-    logits, loc, logZ, g_blank, g_emit, lbl_shape, xn_shape, yn_shape = res
+    logits, loc, logZ, g_blank, g_emit = res
     V = logits.shape[-1]
     v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
     softmax = jnp.exp(logits.astype(jnp.float32) - logZ[..., None])
@@ -85,13 +85,7 @@ def _bwd(blank, fastemit_lambda, impl, res, ct):
         v_iota == loc[..., None]
     )
     d = ct[:, None, None, None].astype(jnp.float32) * (sparse - softmax * gsum)
-    f0 = jax.dtypes.float0
-    return (
-        d.astype(logits.dtype),
-        np.zeros(lbl_shape, dtype=f0),
-        np.zeros(xn_shape, dtype=f0),
-        np.zeros(yn_shape, dtype=f0),
-    )
+    return d.astype(logits.dtype), None, None, None
 
 
 rnnt_logits_core.defvjp(_fwd, _bwd)

@@ -34,18 +34,53 @@ import jax.numpy as jnp
 import numpy as np
 
 _SMALL_V = 256
-# NOTE: take_along_axis leaves XLA's fast indexing path once the operand
-# exceeds ~4 GB (measured: 3.0 ms at 4.0 GB -> 10.1 ms at 6.0 GB for the
-# same per-byte work; presumably the 32-bit byte-offset limit).  Chunking
-# the batch axis to stay under it was tried and rejected: the chunk slices
-# force retiled padded copies (+1.7x memory) that OOM compilation at
-# N=128, V=5000.  The >4 GB rows are ones the reference OOMs on anyway.
+# take_along_axis on the 4D (N, T, U, V) operand leaves XLA's fast indexing
+# path once the operand exceeds ~4 GiB (measured: 3.0 ms at 4.0 GB ->
+# 10.1 ms at 6.0 GB -> 23.7 ms at 7.5 GB; presumably the 32-bit byte-offset
+# limit on the tile-padded (U, V) minor dims).  Above the limit the gather
+# is reformulated on the flattened (N, T, U*V) view with fused u*V + loc
+# indices — measured 10.6 ms vs 23.7 ms on the 7.5 GB N=128, V=5000 operand
+# (a natively-3D operand gathers in 5.3 ms; the remainder is the reshape's
+# relayout).  Batch-chunking and Pallas streaming/sparse-window kernels were
+# both tried and rejected: chunk slices force retiled padded copies (+1.7x
+# memory, compile OOM), and Pallas operand relayout copies RESOURCE_EXHAUST
+# the chip at 7.5 GB.
+_FLAT3D_BYTES = 1 << 32
+
+
+def _flat3d_indices(loc, blank, V):
+    """(N, T, U) label indices -> flattened (u*V + idx) blank/label indices."""
+    N, T, U = loc.shape
+    off = (jnp.arange(U, dtype=jnp.int32) * V)[None, None, :]
+    lab3 = loc.astype(jnp.int32) + off
+    blank3 = jnp.broadcast_to(off + blank, (N, T, U))
+    return blank3, lab3
+
+
+def _gather_4d_flat3d(xs, loc, blank):
+    N, T, U, V = xs.shape
+    xs3 = xs.reshape(N, T, U * V)
+    blank3, lab3 = _flat3d_indices(loc, blank, V)
+    blank_col = jnp.take_along_axis(xs3, blank3, axis=-1)
+    label_col = jnp.take_along_axis(xs3, lab3, axis=-1)
+    return jnp.stack([blank_col, label_col], axis=-1)
+
+
+def _use_flat3d(xs, loc):
+    return (
+        xs.ndim == 4
+        and loc.ndim == 3
+        and xs.shape[-1] > _SMALL_V
+        and xs.size * xs.dtype.itemsize > _FLAT3D_BYTES
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_blank_label(xs, loc, blank: int):
     """xs (..., V), loc (...,) int32 -> (..., 2): [blank entry, loc entry]."""
     V = xs.shape[-1]
+    if _use_flat3d(xs, loc):
+        return _gather_4d_flat3d(xs, loc, blank)
     blank_col = xs[..., blank]
     if V <= _SMALL_V:
         v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
@@ -71,7 +106,7 @@ def _gather_bwd(blank, res, ct):
     d_xs = ct[..., 0:1] * (v_iota == blank) + ct[..., 1:2] * (
         v_iota == loc[..., None]
     )
-    return d_xs.astype(dtype_tag.dtype), np.zeros(loc.shape, dtype=jax.dtypes.float0)
+    return d_xs.astype(dtype_tag.dtype), None
 
 
 gather_blank_label.defvjp(_gather_fwd, _gather_bwd)

@@ -36,10 +36,21 @@ class Joint(nn.Module):
     def __call__(self, f, g, normalize: bool = True):
         """f (N, T, H), g (N, U, H) -> log-probs (N, T, U, V) in fp32
         (raw fp32 logits when ``normalize=False`` — pair with
-        `rnnt_loss_from_logits` to skip the log_softmax pass entirely)."""
+        `rnnt_loss_from_logits` to skip the log_softmax pass entirely).
+
+        Packed (compact) mode: pass 2-D row tensors f (STU, H), g (STU, H) —
+        one row per valid lattice cell, pre-gathered by the caller — and get
+        (STU, V) back, the reference's `requires_packing_` joint
+        (`pytorch_binding/benchmark2.py:46-60`) with identical parameters to
+        the padded call."""
         f = f.astype(self.compute_dtype)
         g = g.astype(self.compute_dtype)
-        if self.mode == "add":
+        if f.ndim == 2:
+            h = (
+                f + g if self.mode == "add"
+                else jnp.concatenate([f, g], axis=-1)
+            )
+        elif self.mode == "add":
             h = f[:, :, None, :] + g[:, None, :, :]
         elif self.mode == "concat":
             N, T, H = f.shape
