@@ -1,8 +1,7 @@
 """Micro-benchmark: lattice-kernel backends head-to-head on TPU.
 
 Times just the alpha/beta sweep (the sequential-DP hot loop) for the column
-kernel (`ops/pallas_impl`), the diagonal kernel (`ops/pallas_diag`) and the
-pure-XLA scan.  Uses the dependency-forced scalar-chain methodology from
+kernel (`ops/pallas_impl`) and the pure-XLA scan.  Uses the dependency-forced scalar-chain methodology from
 `warp_rnnt_tpu.benchmarks.timing` — naive block_until_ready loops measure
 fantasy numbers in this environment.
 
@@ -42,9 +41,9 @@ def main(N=32, T=1500, U=301):
             s = s + a[:, -1, -1].sum()
         return s
 
-    from warp_rnnt_tpu.ops import pallas_diag, pallas_impl
+    from warp_rnnt_tpu.ops import pallas_impl
 
-    for name, mod in [("column", pallas_impl), ("diag", pallas_diag)]:
+    for name, mod in [("column", pallas_impl)]:
         ms_fb = bench_scalar_chain(
             lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, True),
             (blank, emit), iters=20, reduce_out=touch)

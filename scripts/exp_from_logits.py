@@ -94,11 +94,18 @@ def main():
             reduce_out=lambda pair: jnp.sum(pair[0]) + jnp.sum(pair[1]),
         )
     else:
+        # the (N,T,U,V) output write IS the work being measured, so a
+        # scalar-chain (output summed away) lets XLA skip materializing it;
+        # chain the output back as the next input instead (same shape).
+        from warp_rnnt_tpu.benchmarks.timing import bench_grad_chain
+
         fn = {"cur": bwd_cur, "scatter": bwd_scatter, "flat": bwd_flat}[variant]
-        ms = bench_scalar_chain(
-            lambda l: fn(l, loc, logZ, g_blank, g_emit, ct),
-            (logits,), iters=50, reduce_out=jnp.sum,
-        )
+
+        def step(l):
+            d = fn(l, loc, logZ, g_blank, g_emit, ct)
+            return d.ravel()[0:1], d
+
+        ms = bench_grad_chain(jax.jit(step, donate_argnums=0), logits, iters=30)
     print(f"{variant} N={N} ({gb:.2f} GB): {ms:.3f} ms", flush=True)
 
 

@@ -44,16 +44,16 @@ def _backend(impl: str):
     if impl == "scan":
         return scan_impl
     if impl in ("pallas", "pallas_col"):
-        # column-scan kernel: the primary TPU path (zero relayout overhead;
-        # the diagonal kernel's DP is faster but XLA-side shear/unshear
-        # copies currently dominate it — see ops/pallas_diag.py)
+        # column-scan kernel: the TPU path (zero relayout overhead).  A
+        # diagonal-wavefront kernel (one LSE per cell, the algorithmic
+        # minimum) was built and removed: its XLA-side shear/unshear
+        # relayouts made it 3x slower end-to-end, and a roofline analysis
+        # showed the lattice sweep is <15% of loss+grad time at every
+        # benchmark config, so even a free diagonal DP cannot pay for an
+        # in-kernel shear (see docs/DESIGN.md "Kernel choices").
         from warp_rnnt_tpu.ops import pallas_impl
 
         return pallas_impl
-    if impl == "pallas_diag":  # anti-diagonal wavefront (experimental)
-        from warp_rnnt_tpu.ops import pallas_diag
-
-        return pallas_diag
     raise ValueError(f"unknown impl: {impl!r}")
 
 
