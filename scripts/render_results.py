@@ -22,21 +22,28 @@ def main(in_path="benchmarks_results.json",
         "training memory); `fwd` is the beta-only inference sweep "
         "(no gradients). Each config runs in its own subprocess, serialized.",
         "",
-        "| T | U | V | N | reference (ms) | loss+grad (ms) | fwd (ms) | speedup |",
-        "|---|---|---|---|---|---|---|---|",
+        "| T | U | V | N | reference (ms) | loss+grad (ms) | fwd (ms) | speedup | grad-write GB/s (roofline) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
+    HBM_GBPS = 819.0  # v5e HBM bandwidth
     for r in data["rows"]:
         ref = r.get("ref_gather_ms")
         ref_s = f"{ref:.2f}" if ref else "OOM"
         if "error" in r:
             lg = fw = "OOM" if "RESOURCE_EXHAUSTED" in r["error"] else "error"
-            sp = "—"
+            sp = bw_s = "—"
         else:
             lg = f"**{r['loss_grad_ms']:.2f}**"
             fw = f"{r['fwd_ms']:.2f}"
             sp = f"{ref / r['loss_grad_ms']:.1f}x" if ref else "∞ (ref OOM)"
+            # the dense (N, T, U+1, V) fp32 gradient is the one unavoidable
+            # full-tensor access of loss+grad; its write bandwidth vs the
+            # HBM roofline bounds how much faster this row can ever get
+            gb = r["N"] * r["T"] * (r["U"] + 1) * r["V"] * 4 / 1e9
+            bw = gb / (r["loss_grad_ms"] / 1e3)
+            bw_s = f"{bw:.0f} ({bw / HBM_GBPS:.0%})"
         lines.append(
-            f"| {r['T']} | {r['U']} | {r['V']} | {r['N']} | {ref_s} | {lg} | {fw} | {sp} |"
+            f"| {r['T']} | {r['U']} | {r['V']} | {r['N']} | {ref_s} | {lg} | {fw} | {sp} | {bw_s} |"
         )
     lines += [
         "",
@@ -56,6 +63,12 @@ def main(in_path="benchmarks_results.json",
         "- Rows marked OOM exceed single-chip HBM for inputs+grads in fp32; "
         "the reference OOMs on its 8 GB GPU in the same rows and earlier "
         "(T=150/U=20/V=5000 at N=64 already OOMs there but runs here).",
+        "- The roofline column divides the dense fp32 gradient tensor's size "
+        "(the one unavoidable full-tensor access in loss+grad — forward "
+        "reads are sparse at large V) by the measured time, as a fraction "
+        "of the 819 GB/s v5e HBM bandwidth. Rows near 100% cannot be "
+        "materially improved on this chip without changing the gradient "
+        "contract; small-N rows are latency-bound, not bandwidth-bound.",
         "",
         "## End-to-end benchmarks (same chip, calibrated timing)",
         "",

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from warp_rnnt_tpu import rnnt_loss, rnnt_loss_from_logits
 from warp_rnnt_tpu.models.joint import Joint
-from warp_rnnt_tpu.utils.profiling import device_memory_stats, timeit
+from warp_rnnt_tpu.utils.profiling import (
+    compiled_memory_mb, device_memory_stats, timeit,
+)
 
 
 def make_inputs(key, N, T, U, H, rand_length=False):
@@ -56,10 +58,13 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
             lp = joint.apply(p, f, g)  # already log_softmax (N,T,U+1,V)
             return rnnt_loss(lp, ys, xn, yn, reduction="mean", gather=True)
     elif mode == "from_logits":
-        # bypass the Joint's final log_softmax: take raw logits
+        # bypass the Joint's final log_softmax: take RAW logits
+        # (normalize=False — with the default normalize=True this mode
+        # would measure log_softmax PLUS the fused logsumexp, which is
+        # exactly the regression round 1 reported)
         def loss_fn(p, f, g):
-            lp = joint.apply(p, f, g)  # log_probs == logits - logZ, logZ folded
-            return rnnt_loss_from_logits(lp, ys, xn, yn, reduction="mean")
+            logits = joint.apply(p, f, g, normalize=False)
+            return rnnt_loss_from_logits(logits, ys, xn, yn, reduction="mean")
     elif mode == "compact":
         # packed joint + packed loss: only the sum(xn_i * (yn_i+1)) valid
         # lattice cells are ever computed — the reference's
@@ -93,6 +98,8 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
     step = jax.jit(lambda p, f, g: jax.value_and_grad(loss_fn)(p, f, g))
     ms = timeit(step, params, f, g, iters=20)
     mem = device_memory_stats().get("peak_bytes_in_use", 0) / 2**20
+    if not mem:  # runtime stats unavailable through the remote tunnel
+        mem = compiled_memory_mb(step, params, f, g)
     return {"mode": mode, "N": N, "T": T, "U": U, "V": V, "H": H,
             "rand_length": bool(rand_length),
             "step_ms": round(ms, 3), "peak_hbm_mb": round(mem, 1)}

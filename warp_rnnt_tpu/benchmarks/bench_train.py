@@ -22,7 +22,7 @@ from warp_rnnt_tpu.models import init_model, make_train_step
 
 
 def bench_train(N=32, T=400, U=40, V=1024, feat_dim=80, hidden=512,
-                steps=20, warmup=3):
+                steps=20, warmup=3, loss_mode="from_logits"):
     model, params, batch = init_model(
         jax.random.PRNGKey(0), vocab_size=V, feat_dim=feat_dim,
         N=N, T=T, U=U,
@@ -33,7 +33,7 @@ def bench_train(N=32, T=400, U=40, V=1024, feat_dim=80, hidden=512,
     opt = optax.adamw(1e-3)
     opt_state = opt.init(params)
     step = jax.jit(
-        make_train_step(model, opt), donate_argnums=(0, 1)
+        make_train_step(model, opt, loss_mode=loss_mode), donate_argnums=(0, 1)
     )
 
     state = {"p": params, "o": opt_state, "loss": None}
@@ -60,6 +60,7 @@ def bench_train(N=32, T=400, U=40, V=1024, feat_dim=80, hidden=512,
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     return {
         "N": N, "T": T, "U": U, "V": V, "hidden": hidden,
+        "loss_mode": loss_mode,
         "params_m": round(n_params / 1e6, 2),
         "step_ms": round(ms, 2),
         "utts_per_s": round(N / (ms / 1000.0), 1),
@@ -68,8 +69,11 @@ def bench_train(N=32, T=400, U=40, V=1024, feat_dim=80, hidden=512,
 
 
 def main(*args):
+    loss_mode = "from_logits"
+    if args and args[-1] in ("from_logits", "gather"):
+        loss_mode, args = args[-1], args[:-1]
     cfg = [int(a) for a in args] or [32, 400, 40, 1024]
-    print(json.dumps(bench_train(*cfg)), flush=True)
+    print(json.dumps(bench_train(*cfg, loss_mode=loss_mode)), flush=True)
 
 
 if __name__ == "__main__":

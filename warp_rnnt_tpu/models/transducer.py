@@ -123,8 +123,26 @@ class Transducer(nn.Module):
         return self.joint(f_t[:, None, :], g_u[:, None, :])[:, 0, 0, :]
 
 
-def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0):
+def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0,
+                       loss_mode: str = "from_logits"):
+    """Mean RNN-T loss of a batch.
+
+    loss_mode 'from_logits' (default) feeds RAW joint logits into the fused
+    loss — the log_softmax over the (N, T, U, V) tensor and its backward
+    pass never run, saving three full passes over the largest tensor in the
+    step.  'gather' is the classic normalize-then-gather path (numerically
+    identical; kept for A/B measurement and parity with the reference
+    recipe, `pytorch_binding/README`).
+    """
     feats, labels, xn, yn = batch
+    if loss_mode == "from_logits":
+        from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+
+        logits = model.apply(params, feats, labels, normalize=False)
+        return rnnt_loss_from_logits(
+            logits, labels, xn, yn,
+            reduction="mean", fastemit_lambda=fastemit_lambda,
+        )
     log_probs = model.apply(params, feats, labels)
     return rnnt_loss(
         log_probs, labels, xn, yn,
@@ -133,13 +151,16 @@ def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0):
 
 
 def make_train_step(model: Transducer, optimizer: optax.GradientTransformation,
-                    fastemit_lambda: float = 0.0):
+                    fastemit_lambda: float = 0.0,
+                    loss_mode: str = "from_logits"):
     """Returns a pure (params, opt_state, batch) -> (params, opt_state, loss)
     step, ready for jit over a mesh (shard batch over 'data')."""
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
-            lambda p: transducer_loss_fn(model, p, batch, fastemit_lambda)
+            lambda p: transducer_loss_fn(
+                model, p, batch, fastemit_lambda, loss_mode
+            )
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

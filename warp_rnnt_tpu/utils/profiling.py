@@ -61,6 +61,26 @@ def device_memory_stats(device=None):
     return dict(stats) if stats else {}
 
 
+def compiled_memory_mb(jitted, *args):
+    """Peak HBM of a jitted program from XLA's compile-time memory analysis
+    (arguments + outputs + temporaries − donation aliasing), in MiB.
+
+    Works where runtime `memory_stats()` is unavailable (e.g. remote-tunnel
+    backends); this is the compiler's own accounting of what the program
+    allocates, the TPU analogue of `torch.cuda.max_memory_allocated`
+    (`/root/reference/pytorch_binding/benchmark2.py:159`)."""
+    ma = jitted.lower(*args).compile().memory_analysis()
+    if ma is None:
+        return 0.0
+    total = (
+        ma.argument_size_in_bytes
+        + ma.output_size_in_bytes
+        + ma.temp_size_in_bytes
+        - ma.alias_size_in_bytes
+    )
+    return total / 2**20
+
+
 def timeit(fn, *args, iters: int = 20, warmup: int = 3):
     """Mean wall-clock ms per call, every call forced by a data dependency
     (a donated scalar accumulator sums all of fn's outputs)."""
