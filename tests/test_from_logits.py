@@ -77,3 +77,20 @@ def test_inference_primal_matches():
         lambda x: rnnt_loss_from_logits(x, ys, xn, yn, reduction="sum", impl="scan")
     )(logits)
     np.testing.assert_allclose(float(np.asarray(inf).sum()), float(train), rtol=1e-5)
+
+
+def test_flat3d_formulation_matches(monkeypatch):
+    """The >4 GiB flat-3D gather route inside _gather2 (forced via the
+    threshold) is value- and grad-identical to the default route."""
+    from warp_rnnt_tpu.functional import gather
+
+    logits, ys, xn, yn = _case(seed=3)
+    f = lambda x: rnnt_loss_from_logits(x, ys, xn, yn, reduction="mean")
+    want, gwant = jax.value_and_grad(f)(logits)
+    monkeypatch.setattr(gather, "_FLAT3D_BYTES", 0)
+    monkeypatch.setattr(gather, "_SMALL_V", 0)
+    got, ggot = jax.value_and_grad(f)(logits)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ggot), np.asarray(gwant), rtol=1e-5, atol=1e-7
+    )

@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from warp_rnnt_tpu.functional import gather as _gather
 from warp_rnnt_tpu.functional.core import _costs_only, _forward_backward
-from warp_rnnt_tpu.functional.gather import _SMALL_V
 
 
 def _labels_loc(labels, blank, N, T, U):
@@ -44,8 +44,13 @@ def _gather2(logits, loc, blank):
     V = logits.shape[-1]
     logits = logits.astype(jnp.float32)
     logZ = jax.nn.logsumexp(logits, axis=-1)
+    if _gather._use_flat3d(logits, loc):
+        # >4 GiB: flat (N, T, U*V) indexing keeps XLA's fast gather path
+        # (see gather._FLAT3D_BYTES)
+        g2 = _gather._gather_4d_flat3d(logits, loc, blank)
+        return g2[..., 0] - logZ, g2[..., 1] - logZ, logZ
     blank_lp = logits[..., blank] - logZ
-    if V <= _SMALL_V:
+    if V <= _gather._SMALL_V:
         v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
         emit = jnp.sum(jnp.where(v_iota == loc[..., None], logits, 0.0), axis=-1)
     else:
