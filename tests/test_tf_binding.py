@@ -160,6 +160,27 @@ def test_saved_model_round_trip(tmp_path):
     np.testing.assert_allclose(got, case["expected_costs"], rtol=1e-4, atol=2e-5)
 
 
+def test_graph_path_pregathered_sentinel():
+    """blank=-1 (pre-gathered (N, T, U, 2) lattice) through the graph op."""
+    case = golden.FORWARD_SINGLE
+    xs_np = np.asarray(case["xs"])
+    N, T, U, V = xs_np.shape
+    ys = case["ys"]
+    gathered = np.zeros((N, T, U, 2), np.float32)
+    gathered[..., 0] = xs_np[..., 0]
+    for u in range(U):
+        idx = ys[0, u] if u < U - 1 else 0
+        gathered[:, :, u, 1] = xs_np[:, :, u, idx]
+    costs = rnnt_loss(
+        tf.constant(gathered), tf.constant(ys, tf.int32),
+        tf.constant(case["xn"], tf.int32), tf.constant(case["yn"], tf.int32),
+        blank=-1,
+    )
+    np.testing.assert_allclose(
+        costs.numpy(), case["expected_costs"], rtol=1e-4, atol=2e-5
+    )
+
+
 def test_reductions_and_average_frames():
     case = golden.FORWARD_BATCH
     xs, ys, xn, yn = _t(case)

@@ -101,7 +101,9 @@ def _graph_core(T: int, U: int, V: int, blank: int, fastemit_lambda: float):
             gathered = _gather_blank_emit(xs, ys, blank)
         return rnnt_core(gathered, xn, yn, fastemit_lambda, "scan")
 
-    lab_u = U if blank == -1 else U - 1
+    # labels are (N, U-1) in every layout (with blank=-1 they are unused by
+    # the core but still part of the reference signature)
+    lab_u = U - 1
     return jax2tf.convert(
         fn,
         with_gradient=True,
