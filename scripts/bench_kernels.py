@@ -43,14 +43,13 @@ def main(N=32, T=1500, U=301):
 
     from warp_rnnt_tpu.ops import pallas_impl
 
-    for name, mod in [("column", pallas_impl)]:
-        ms_fb = bench_scalar_chain(
-            lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, True),
-            (blank, emit), iters=20, reduce_out=touch)
-        ms_bo = bench_scalar_chain(
-            lambda b, e, m=mod: m.alpha_beta(b, e, xn, yn, False),
-            (blank, emit), iters=20, reduce_out=touch)
-        print(f"{name:8s} alpha+beta: {ms_fb:7.3f} ms   beta-only: {ms_bo:7.3f} ms")
+    ms_fb = bench_scalar_chain(
+        lambda b, e: pallas_impl.alpha_beta(b, e, xn, yn, True),
+        (blank, emit), iters=20, reduce_out=touch)
+    ms_bo = bench_scalar_chain(
+        lambda b, e: pallas_impl.alpha_beta(b, e, xn, yn, False),
+        (blank, emit), iters=20, reduce_out=touch)
+    print(f"column   alpha+beta: {ms_fb:7.3f} ms   beta-only: {ms_bo:7.3f} ms")
 
     # pure-XLA scan: reduce over FULL outputs (partial reductions would let
     # XLA skip lattice work)

@@ -64,15 +64,16 @@ def bwd_scatter(logits, loc, logZ, g_blank, g_emit, ct):
 
 def bwd_flat(logits, loc, logZ, g_blank, g_emit, ct):
     l3 = logits.reshape(N, T, U * V)
-    lane = jnp.arange(U * V, dtype=jnp.int32).reshape(1, 1, U * V)
-    off = (jnp.arange(U, dtype=jnp.int32) * V)[None, None, :]
-    loc3 = loc + off
-    z3 = jnp.repeat(logZ, V, axis=-1).reshape(N, T, U * V)
+    lane_v = jnp.arange(U * V, dtype=jnp.int32).reshape(1, 1, U * V) % V
+    z3 = jnp.repeat(logZ, V, axis=-1)
     softmax = jnp.exp(l3 - z3)
-    gsum3 = jnp.repeat(g_blank + g_emit, V, axis=-1).reshape(N, T, U * V)
-    gb3 = jnp.repeat(g_blank, V, axis=-1).reshape(N, T, U * V)
-    ge3 = jnp.repeat(g_emit, V, axis=-1).reshape(N, T, U * V)
-    sparse = jnp.where(lane == off, gb3, 0.0) + jnp.where(lane == loc3, ge3, 0.0)
+    gsum3 = jnp.repeat(g_blank + g_emit, V, axis=-1)
+    gb3 = jnp.repeat(g_blank, V, axis=-1)
+    ge3 = jnp.repeat(g_emit, V, axis=-1)
+    loc3 = jnp.repeat(loc, V, axis=-1)  # per-lane label id of its own row
+    sparse = jnp.where(lane_v == 0, gb3, 0.0) + jnp.where(
+        lane_v == loc3, ge3, 0.0
+    )
     return (ct[:, None, None] * (sparse - softmax * gsum3)).reshape(N, T, U, V)
 
 

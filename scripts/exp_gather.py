@@ -13,9 +13,10 @@ Run ONE config per process (remote-tunnel hygiene):
   python scripts/exp_gather.py <variant> <N> [bwd]
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -76,29 +76,64 @@ def main(in_path="benchmarks_results.json",
         "- Lattice sweep alone (N=32, T=1500, U=301): column Pallas kernel "
         "**1.71 ms** fused alpha+beta / **1.00 ms** beta-only; pure-XLA "
         "scan 22.1 ms (`scripts/bench_kernels.py`).",
-        "- Joint + loss + backward (N=16, T=150, U=20, V=5000, H=256, "
-        "`benchmarks/bench_joint.py`), program HBM from XLA's compile-time "
-        "memory analysis:",
-        "",
-        "| layout | full lengths | random lengths |",
-        "|---|---|---|",
-        "| padded log_softmax+gather | 17.5 ms / 2502 MiB | 17.5 ms / 2502 MiB |",
-        "| fused from-logits | **15.7 ms** / 2501 MiB | 15.6 ms / 2502 MiB |",
-        "| compact (packed joint + packed loss) | 9.3 ms / 1508 MiB | **5.1 ms / 853 MiB** |",
-        "",
-        "  The compact path computes only the sum(xn*(yn+1)) valid lattice "
-        "cells: at the reference benchmark's random lengths it is **3.4x "
-        "faster and 2.9x lighter** than the padded path (the reference's "
-        "published compact win on GPU is ~15% time / ~22% memory, "
-        "`pytorch_binding/benchmark2.py`).  The fused from-logits path "
-        "beats normalize-then-gather by ~10% at V=5000 by never running "
-        "log_softmax (or its backward) over the (N,T,U,V) tensor.",
-        "- Full training step — conv-GLU encoder + GRU predictor + bf16 "
-        "joint + loss + adamw (N=32, T=400, U=40, V=1024, H=512, 8.2M "
-        "params): **53.7 ms/step = 596 utts/s** on one chip "
-        "(`benchmarks/bench_train.py`; from-logits and gather loss modes "
-        "within 2% at this V).",
     ]
+    try:
+        e2e = json.load(open("benchmarks_endtoend.json"))
+    except FileNotFoundError:
+        e2e = None
+    if e2e:
+        j = e2e["joint_loss_backward"]
+        cfg = j["config"]
+        lines += [
+            f"- Joint + loss + backward (N={cfg['N']}, T={cfg['T']}, "
+            f"U={cfg['U']}, V={cfg['V']}, H={cfg['H']}, "
+            "`benchmarks/bench_joint.py`), program HBM from XLA's "
+            "compile-time memory analysis:",
+            "",
+            "| layout | full lengths | random lengths |",
+            "|---|---|---|",
+        ]
+        by_mode = {
+            "full": {r["mode"]: r for r in j["full_lengths"]},
+            "rand": {r["mode"]: r for r in j["random_lengths"]},
+        }
+        labels = {
+            "log_softmax+gather": "padded log_softmax+gather",
+            "from_logits": "fused from-logits",
+            "compact": "compact (packed joint + packed loss)",
+        }
+        for mode, label in labels.items():
+            f_, r_ = by_mode["full"][mode], by_mode["rand"][mode]
+            lines.append(
+                f"| {label} | {f_['step_ms']:.1f} ms / "
+                f"{f_['program_hbm_mb']:.0f} MiB | {r_['step_ms']:.1f} ms / "
+                f"{r_['program_hbm_mb']:.0f} MiB |"
+            )
+        pad_r = by_mode["rand"]["log_softmax+gather"]
+        cmp_r = by_mode["rand"]["compact"]
+        speed = pad_r["step_ms"] / cmp_r["step_ms"]
+        mem = pad_r["program_hbm_mb"] / cmp_r["program_hbm_mb"]
+        lines += [
+            "",
+            "  The compact path computes only the sum(xn*(yn+1)) valid "
+            f"lattice cells: at random lengths it is **{speed:.1f}x faster "
+            f"and {mem:.1f}x lighter** than the padded path (the "
+            "reference's published compact win on GPU is ~15% time / ~22% "
+            "memory, `pytorch_binding/benchmark2.py`).  The fused "
+            "from-logits path wins by never running log_softmax (or its "
+            "backward) over the (N,T,U,V) tensor.",
+        ]
+        tr = e2e["train_step"]
+        tcfg = tr["config"]
+        best = min(tr["rows"], key=lambda r: r["step_ms"])
+        lines += [
+            "- Full training step — conv-GLU encoder + GRU predictor + "
+            f"bf16 joint + loss + adamw (N={tcfg['N']}, T={tcfg['T']}, "
+            f"U={tcfg['U']}, V={tcfg['V']}, H={tcfg['hidden']}, "
+            f"{tcfg['params_m']}M params): **{best['step_ms']:.1f} ms/step "
+            f"= {best['utts_per_s']:.0f} utts/s** on one chip "
+            "(`benchmarks/bench_train.py`).",
+        ]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path} ({len(data['rows'])} rows)")

@@ -160,6 +160,22 @@ def test_saved_model_round_trip(tmp_path):
     np.testing.assert_allclose(got, case["expected_costs"], rtol=1e-4, atol=2e-5)
 
 
+def test_graph_path_large_vocab():
+    """V > _SMALL_V through the graph op: the flat3d byte-size branch must
+    not evaluate a symbolic-dim comparison (regression: V=300 raised
+    InconclusiveDimensionOperation under shape polymorphism)."""
+    rng = np.random.RandomState(1)
+    N, T, U, V = 2, 6, 4, 300
+    x = rng.randn(N, T, U, V).astype(np.float32)
+    x = x - np.log(np.sum(np.exp(x), axis=-1, keepdims=True))
+    ys = rng.randint(1, V, (N, U - 1)).astype(np.int32)
+    xn = np.full((N,), T, np.int32)
+    yn = np.full((N,), U - 1, np.int32)
+    costs = rnnt_loss(tf.constant(x), ys, xn, yn, graph=True)
+    ref = rnnt_loss(tf.constant(x), ys, xn, yn, graph=False)
+    np.testing.assert_allclose(costs.numpy(), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_graph_path_pregathered_sentinel():
     """blank=-1 (pre-gathered (N, T, U, 2) lattice) through the graph op."""
     case = golden.FORWARD_SINGLE

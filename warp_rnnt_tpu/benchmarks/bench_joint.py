@@ -21,9 +21,7 @@ import jax.numpy as jnp
 
 from warp_rnnt_tpu import rnnt_loss, rnnt_loss_from_logits
 from warp_rnnt_tpu.models.joint import Joint
-from warp_rnnt_tpu.utils.profiling import (
-    compiled_memory_mb, device_memory_stats, timeit,
-)
+from warp_rnnt_tpu.utils.profiling import compiled_memory_mb, timeit
 
 
 def make_inputs(key, N, T, U, H, rand_length=False):
@@ -97,9 +95,10 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
 
     step = jax.jit(lambda p, f, g: jax.value_and_grad(loss_fn)(p, f, g))
     ms = timeit(step, params, f, g, iters=20)
-    mem = device_memory_stats().get("peak_bytes_in_use", 0) / 2**20
-    if not mem:  # runtime stats unavailable through the remote tunnel
-        mem = compiled_memory_mb(step, params, f, g)
+    # per-program compile-time accounting — runtime peak_bytes_in_use is a
+    # process-lifetime high-water mark, so any mode run after the first
+    # would report the max over all earlier modes
+    mem = compiled_memory_mb(step, params, f, g)
     return {"mode": mode, "N": N, "T": T, "U": U, "V": V, "H": H,
             "rand_length": bool(rand_length),
             "step_ms": round(ms, 3), "peak_hbm_mb": round(mem, 1)}

@@ -176,7 +176,11 @@ def rnnt_loss(
     assert isinstance(blank, int)
     assert isinstance(gather, bool)
 
-    if graph and None not in log_probs.shape[1:]:
+    if (
+        graph
+        and log_probs.shape.rank is not None
+        and None not in log_probs.shape[1:]
+    ):
         # The converted JAX core gathers internally with a dense-VJP
         # formulation; pre-gathering in TF would only add a scatter.
         costs = transducer_loss_graph(

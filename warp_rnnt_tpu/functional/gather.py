@@ -67,12 +67,14 @@ def _gather_4d_flat3d(xs, loc, blank):
 
 
 def _use_flat3d(xs, loc):
-    return (
-        xs.ndim == 4
-        and loc.ndim == 3
-        and xs.shape[-1] > _SMALL_V
-        and xs.size * xs.dtype.itemsize > _FLAT3D_BYTES
-    )
+    if not (xs.ndim == 4 and loc.ndim == 3 and xs.shape[-1] > _SMALL_V):
+        return False
+    size = xs.size
+    if not isinstance(size, int):
+        # symbolic dims (jax.export / jax2tf shape polymorphism): the byte
+        # comparison is undecidable — keep the default formulation
+        return False
+    return size * xs.dtype.itemsize > _FLAT3D_BYTES
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -45,6 +45,8 @@ class Joint(nn.Module):
         the padded call."""
         f = f.astype(self.compute_dtype)
         g = g.astype(self.compute_dtype)
+        if self.mode not in ("add", "concat"):
+            raise ValueError(f"unknown joint mode: {self.mode!r}")
         if f.ndim == 2:
             h = (
                 f + g if self.mode == "add"
@@ -52,7 +54,7 @@ class Joint(nn.Module):
             )
         elif self.mode == "add":
             h = f[:, :, None, :] + g[:, None, :, :]
-        elif self.mode == "concat":
+        else:  # concat
             N, T, H = f.shape
             U = g.shape[1]
             h = jnp.concatenate(
@@ -62,8 +64,6 @@ class Joint(nn.Module):
                 ],
                 axis=-1,
             )
-        else:
-            raise ValueError(f"unknown joint mode: {self.mode!r}")
         h = nn.Dense(self.hidden, dtype=self.compute_dtype, name="pre")(h)
         h = jnp.tanh(h)
         kernel_init = nn.with_logical_partitioning(

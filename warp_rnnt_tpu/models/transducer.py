@@ -134,6 +134,8 @@ def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0,
     identical; kept for A/B measurement and parity with the reference
     recipe, `pytorch_binding/README`).
     """
+    if loss_mode not in ("from_logits", "gather"):
+        raise ValueError(f"unknown loss_mode: {loss_mode!r}")
     feats, labels, xn, yn = batch
     if loss_mode == "from_logits":
         from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
