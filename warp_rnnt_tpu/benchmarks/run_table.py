@@ -53,10 +53,16 @@ def main(out_path="benchmarks_results.json"):
                     "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
                     f"run_one({N},{T},{U},{V},{iters},donate={donate})"
                 )
-                proc = subprocess.run(
-                    [sys.executable, "-c", code], capture_output=True,
-                    text=True, timeout=1200,
-                )
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, "-c", code], capture_output=True,
+                        text=True, timeout=1200,
+                    )
+                except subprocess.TimeoutExpired:
+                    # a hung child (wedged tunnel) is exactly the case the
+                    # retry loop exists for — subprocess.run already killed it
+                    msg = "timeout (1200s)"
+                    continue
                 for line in proc.stdout.splitlines():
                     if line.startswith("RESULT "):
                         parsed = json.loads(line[len("RESULT "):])
