@@ -151,3 +151,37 @@ def test_compact_scatter_matches_jax():
         g2, loc_np, np.ones((N,), np.float32), xn, yn, V
     )
     np.testing.assert_allclose(scattered, g, rtol=1e-5, atol=1e-6)
+
+
+def test_compact_stress_vs_oracle():
+    """Compact layout at stress scale (random ragged lengths): packed costs
+    and grads must match the padded native oracle scattered into packed
+    form — the compact twin of `test_calls_scale_stress_vs_oracle`."""
+    import jax.numpy as jnp
+
+    from warp_rnnt_tpu.functional.compact import rnnt_loss_compact_with_internals
+
+    rng = np.random.RandomState(11)
+    N, T, U, V = 32, 60, 24, 8
+    xs = golden.log_softmax(rng.randn(N, T, U, V)).astype(np.float32)
+    ys = rng.randint(1, V, size=(N, U - 1)).astype(np.int32)
+    xn = rng.randint(U, T + 1, size=(N,)).astype(np.int32)
+    yn = rng.randint(1, U, size=(N,)).astype(np.int32)
+
+    packed = native.pack_compact(xs, xn, yn)
+    packed_ys = native.pack_labels(ys, yn)
+
+    costs, grads_v, _ = rnnt_loss_compact_with_internals(
+        jnp.asarray(packed), jnp.asarray(packed_ys), xn, yn, impl="scan",
+        max_frames=T, max_labels=U - 1,
+    )
+
+    exp_costs, _, _, exp_grads = native.transduce_batch_native(xs, ys, xn, yn)
+    np.testing.assert_allclose(np.asarray(costs), exp_costs, rtol=5e-5, atol=1e-4)
+
+    # the packed (STU, V) grads must equal the padded oracle grads packed
+    # the same way
+    exp_packed = native.pack_compact(exp_grads, xn, yn)
+    np.testing.assert_allclose(
+        np.asarray(grads_v), exp_packed, rtol=5e-4, atol=1e-4
+    )
