@@ -113,9 +113,9 @@ print("TPU restricted parity OK", flush=True)
 from warp_rnnt_tpu.functional import gather as _gather_mod
 
 _orig_thresh = _gather_mod._FLAT3D_BYTES
-_orig_small = _gather_mod._SMALL_V
+_orig_small = _gather_mod._MASK_ROW_BYTES
 _gather_mod._FLAT3D_BYTES = 0
-_gather_mod._SMALL_V = 0
+_gather_mod._MASK_ROW_BYTES = 0
 try:
     c_f, g_f, _, _ = rnnt_loss_with_internals(
         jnp.asarray(x), jnp.asarray(ys), xn, yn, impl="pallas"
@@ -124,7 +124,7 @@ try:
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=2e-3, atol=1e-4)
 finally:
     _gather_mod._FLAT3D_BYTES = _orig_thresh
-    _gather_mod._SMALL_V = _orig_small
+    _gather_mod._MASK_ROW_BYTES = _orig_small
 print("TPU flat3d-gather parity OK", flush=True)
 
 

@@ -42,7 +42,7 @@ def test_value_and_grad_match_composed(fastemit):
 
 
 def test_large_vocab_path():
-    logits, ys, xn, yn = _case(seed=1, N=2, T=7, U=3, V=300)  # > _SMALL_V
+    logits, ys, xn, yn = _case(seed=1, N=2, T=7, U=3, V=300)  # exercises the taa branch pre-threshold-change; now mask
     v0, g0 = jax.value_and_grad(
         lambda x: rnnt_loss(
             jax.nn.log_softmax(x, -1), ys, xn, yn, reduction="mean", impl="scan"
@@ -88,7 +88,7 @@ def test_flat3d_formulation_matches(monkeypatch):
     f = lambda x: rnnt_loss_from_logits(x, ys, xn, yn, reduction="mean")
     want, gwant = jax.value_and_grad(f)(logits)
     monkeypatch.setattr(gather, "_FLAT3D_BYTES", 0)
-    monkeypatch.setattr(gather, "_SMALL_V", 0)
+    monkeypatch.setattr(gather, "_MASK_ROW_BYTES", 0)
     got, ggot = jax.value_and_grad(f)(logits)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
     np.testing.assert_allclose(

@@ -38,7 +38,7 @@ def test_flat3d_matches_default(monkeypatch, V, blank):
     xs, loc = _make(V=V, blank=blank)
     want = gather_blank_label(xs, loc, blank)
     monkeypatch.setattr(gather, "_FLAT3D_BYTES", 0)
-    monkeypatch.setattr(gather, "_SMALL_V", 0)
+    monkeypatch.setattr(gather, "_MASK_ROW_BYTES", 0)
     assert gather._use_flat3d(xs, loc)
     got = gather_blank_label(xs, loc, blank)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
@@ -52,7 +52,7 @@ def test_flat3d_grads_match(monkeypatch):
     f = lambda x: jnp.sum(gather_blank_label(x, loc, 0) ** 2)
     want = jax.grad(f)(xs)
     monkeypatch.setattr(gather, "_FLAT3D_BYTES", 0)
-    monkeypatch.setattr(gather, "_SMALL_V", 0)
+    monkeypatch.setattr(gather, "_MASK_ROW_BYTES", 0)
     got = jax.grad(f)(xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=0)
 

@@ -161,7 +161,7 @@ def test_saved_model_round_trip(tmp_path):
 
 
 def test_graph_path_large_vocab():
-    """V > _SMALL_V through the graph op: the flat3d byte-size branch must
+    """Large-V graph op: the flat3d byte-size branch must
     not evaluate a symbolic-dim comparison (regression: V=300 raised
     InconclusiveDimensionOperation under shape polymorphism)."""
     rng = np.random.RandomState(1)

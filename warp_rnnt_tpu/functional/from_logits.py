@@ -50,7 +50,7 @@ def _gather2(logits, loc, blank):
         g2 = _gather._gather_4d_flat3d(logits, loc, blank)
         return g2[..., 0] - logZ, g2[..., 1] - logZ, logZ
     blank_lp = logits[..., blank] - logZ
-    if V <= _gather._SMALL_V:
+    if _gather._use_mask(V, logits.dtype):
         v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
         emit = jnp.sum(jnp.where(v_iota == loc[..., None], logits, 0.0), axis=-1)
     else:

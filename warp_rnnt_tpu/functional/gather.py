@@ -14,9 +14,11 @@ When ``loc[r] == blank`` (terminal lattice rows) both terms accumulate,
 matching the scatter-add semantics of the reference autograd gather.
 
 Forward formulation is chosen by vocabulary size (measured on v5e):
-  * large V: last-axis take_along_axis (near HBM-bandwidth);
-  * small V (<= _SMALL_V): XLA lowers small-V gathers to a ~7 GB/s fusion,
-    so a compare-mask reduction over V is used instead (~5x faster).
+  * large V (> ~12 KiB/row): last-axis take_along_axis — its cost is a flat
+    ~15 ns per gathered row, independent of V (sparse reads);
+  * small/mid V: a compare-mask reduction over V, which runs at HBM
+    bandwidth and therefore wins while rows are under ~12 KiB (V <= 3072
+    fp32), measured crossover in `scripts/exp_midv.py`.
 
 Implementation note: these stay XLA expressions on purpose.  A Pallas
 formulation requires (R, 1)/(R, 2)-shaped operands whose forced row-major
@@ -33,7 +35,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SMALL_V = 256
+# Forward-gather formulation crossover (measured on v5e, scripts/exp_midv.py):
+# take_along_axis costs a flat ~15 ns per gathered row REGARDLESS of V
+# (8.1 ms at N*T*U=524K rows whether V=512 or 4096), while the compare-mask
+# reduction reads the whole row at HBM bandwidth (~V*itemsize/819GB/s per
+# row).  Mask wins while V*itemsize is under ~12 KiB — i.e. V<=3072 fp32 /
+# V<=6144 bf16 — which covers the entire common ASR vocab range the old
+# V<=256 threshold missed (taa at V=1024 was costing 8.7 ms of a 54 ms
+# train step for a 2 MB gather).
+_MASK_ROW_BYTES = 12 << 10
+
+
+def _use_mask(V, dtype):
+    return V * jnp.dtype(dtype).itemsize <= _MASK_ROW_BYTES
 # take_along_axis on the 4D (N, T, U, V) operand leaves XLA's fast indexing
 # path once the operand exceeds ~4 GiB (measured: 3.0 ms at 4.0 GB ->
 # 10.1 ms at 6.0 GB -> 23.7 ms at 7.5 GB; presumably the 32-bit byte-offset
@@ -67,7 +81,11 @@ def _gather_4d_flat3d(xs, loc, blank):
 
 
 def _use_flat3d(xs, loc):
-    if not (xs.ndim == 4 and loc.ndim == 3 and xs.shape[-1] > _SMALL_V):
+    if not (
+        xs.ndim == 4
+        and loc.ndim == 3
+        and not _use_mask(xs.shape[-1], xs.dtype)
+    ):
         return False
     size = xs.size
     if not isinstance(size, int):
@@ -84,7 +102,7 @@ def gather_blank_label(xs, loc, blank: int):
     if _use_flat3d(xs, loc):
         return _gather_4d_flat3d(xs, loc, blank)
     blank_col = xs[..., blank]
-    if V <= _SMALL_V:
+    if _use_mask(V, xs.dtype):
         v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
         label_col = jnp.sum(
             jnp.where(v_iota == loc[..., None], xs, 0.0), axis=-1
