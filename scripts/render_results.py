@@ -123,6 +123,18 @@ def main(in_path="benchmarks_results.json",
             "from-logits path wins by never running log_softmax (or its "
             "backward) over the (N,T,U,V) tensor.",
         ]
+        dec = e2e.get("decode")
+        if dec:
+            c = dec["config"]
+            lines += [
+                f"- Inference decoding (N={c['N']}, T={c['T']}, V={c['V']}, "
+                f"H={c['hidden']}, `benchmarks/bench_decode.py`): greedy "
+                f"**{dec['greedy_ms']:.1f} ms/batch = "
+                f"{dec['greedy_utts_per_s']:.0f} utts/s**, beam-{c['beam']} "
+                f"{dec['beam_ms']:.0f} ms/batch = "
+                f"{dec['beam_utts_per_s']:.0f} utts/s — fully jitted "
+                "batched decoders; the reference ships no decoder at all.",
+            ]
         tr = e2e["train_step"]
         tcfg = tr["config"]
         best = min(tr["rows"], key=lambda r: r["step_ms"])
