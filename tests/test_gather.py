@@ -57,6 +57,44 @@ def test_flat3d_grads_match(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=0)
 
 
+def test_taa_branch_matches_reference(monkeypatch):
+    """The large-V take_along_axis branch (the production path for the
+    V=5000 benchmark rows) — forced by zeroing the mask crossover while
+    keeping the flat3d threshold huge."""
+    monkeypatch.setattr(gather, "_MASK_ROW_BYTES", 0)
+    for V, blank in [(300, 0), (300, 7), (32, 3)]:
+        xs, loc = _make(V=V, blank=blank)
+        assert not gather._use_mask(V, xs.dtype)
+        assert not gather._use_flat3d(xs, loc)
+        got = gather_blank_label(xs, loc, blank)
+        np.testing.assert_allclose(
+            np.asarray(got), _reference(xs, loc, blank), rtol=0, atol=0
+        )
+        f = lambda x: jnp.sum(gather_blank_label(x, loc, blank) ** 2)
+        g = jax.grad(f)(xs)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_from_logits_taa_branch_matches(monkeypatch):
+    """Same forcing through the fused from-logits gather."""
+    from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+
+    rng = np.random.RandomState(4)
+    N, T, U, V = 2, 6, 4, 40
+    logits = jnp.asarray(rng.randn(N, T, U, V).astype(np.float32))
+    ys = jnp.asarray(rng.randint(1, V, (N, U - 1)).astype(np.int32))
+    xn = np.full((N,), T, np.int32)
+    yn = np.full((N,), U - 1, np.int32)
+    f = lambda x: rnnt_loss_from_logits(x, ys, xn, yn, reduction="mean")
+    want, gwant = jax.value_and_grad(f)(logits)
+    monkeypatch.setattr(gather, "_MASK_ROW_BYTES", 0)
+    got, ggot = jax.value_and_grad(f)(logits)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ggot), np.asarray(gwant), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_flat3d_not_engaged_for_small_or_non4d():
     xs, loc = _make()
     assert not gather._use_flat3d(xs, loc)  # tiny operand

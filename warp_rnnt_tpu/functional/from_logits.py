@@ -42,6 +42,10 @@ def _labels_loc(labels, blank, N, T, U):
 
 def _gather2(logits, loc, blank):
     V = logits.shape[-1]
+    # formulation decisions use the INPUT dtype: XLA fuses the fp32 cast
+    # into consumers, so HBM rows are e.g. bf16-sized for a bf16 joint and
+    # the mask-vs-taa crossover doubles (see gather._MASK_ROW_BYTES)
+    in_dtype = logits.dtype
     logits = logits.astype(jnp.float32)
     logZ = jax.nn.logsumexp(logits, axis=-1)
     if _gather._use_flat3d(logits, loc):
@@ -50,7 +54,7 @@ def _gather2(logits, loc, blank):
         g2 = _gather._gather_4d_flat3d(logits, loc, blank)
         return g2[..., 0] - logZ, g2[..., 1] - logZ, logZ
     blank_lp = logits[..., blank] - logZ
-    if _gather._use_mask(V, logits.dtype):
+    if _gather._use_mask(V, in_dtype):
         v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
         emit = jnp.sum(jnp.where(v_iota == loc[..., None], logits, 0.0), axis=-1)
     else:
