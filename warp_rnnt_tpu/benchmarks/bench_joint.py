@@ -107,13 +107,16 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
 def main():
     import sys
 
-    mode = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = args[0] if args else None
+    dims = [int(a) for a in args[1:]]  # optional: N T U V [H]
+    kw = dict(zip(("N", "T", "U", "V", "H"), dims))
     rand_length = "--rand-length" in sys.argv
-    modes = (mode,) if mode and not mode.startswith("--") else (
+    modes = (mode,) if mode else (
         "log_softmax+gather", "from_logits", "compact",
     )
     for m in modes:
-        print(json.dumps(bench_joint(mode=m, rand_length=rand_length)),
+        print(json.dumps(bench_joint(mode=m, rand_length=rand_length, **kw)),
               flush=True)
 
 
