@@ -133,6 +133,55 @@ def test_compact_matches_padded_random():
     np.testing.assert_allclose(np.asarray(g_cmp), repacked, rtol=1e-4, atol=1e-6)
 
 
+def test_compact_padded_packed_buffer_pad_rows_get_zero_grads():
+    """A bucketed packed buffer (STU > sum(xn*(yn+1)), the natural shape
+    under jit where STU must be static) must behave exactly like the
+    exact-size buffer: same costs, same grads on real rows, EXACT zeros on
+    pad rows.  Regression test for the clamped-gather aliasing in the
+    hand-written compact_to_padded VJP (pad rows used to receive the last
+    sample's duplicated cell grads)."""
+    packed, packed_ys, xn, yn = _pack(golden.FORWARD_BATCH)
+    n_pad = 4
+    padded_buf = np.concatenate(
+        [packed, np.full((n_pad, packed.shape[1]), -1.0, np.float32)], axis=0
+    )
+
+    def loss(x):
+        return rnnt_loss(
+            x, jnp.asarray(packed_ys), xn, yn,
+            compact=True, reduction="sum", impl="scan",
+            max_frames=int(xn.max()), max_labels=int(yn.max()),
+        )
+
+    costs = rnnt_loss(
+        jnp.asarray(padded_buf), jnp.asarray(packed_ys), xn, yn,
+        compact=True, impl="scan",
+        max_frames=int(xn.max()), max_labels=int(yn.max()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs), golden.FORWARD_BATCH["expected_costs"],
+        rtol=1e-4, atol=2e-5,
+    )
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(padded_buf)))
+    np.testing.assert_allclose(
+        g[: packed.shape[0]], EXPECTED_COMPACT_GRADS, rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(g[packed.shape[0]:], 0.0)
+
+    # same contract through the internals (conformance) entry
+    _, grads_int, _ = rnnt_loss_compact_with_internals(
+        jnp.asarray(padded_buf), jnp.asarray(packed_ys), xn, yn, impl="scan",
+        max_frames=int(xn.max()), max_labels=int(yn.max()),
+    )
+    grads_int = np.asarray(grads_int)
+    np.testing.assert_allclose(
+        grads_int[: packed.shape[0]], EXPECTED_COMPACT_GRADS,
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_array_equal(grads_int[packed.shape[0]:], 0.0)
+
+
 def test_compact_under_jit_with_static_bounds():
     packed, packed_ys, xn, yn = _pack(golden.FORWARD_BATCH)
 

@@ -103,6 +103,83 @@ def test_flat3d_not_engaged_for_small_or_non4d():
     assert not gather._use_flat3d(xs2, loc2)
 
 
+@pytest.mark.parametrize("blank", [0, 7])
+def test_flat_layout_gather_matches_4d(blank):
+    """gather_blank_label_flat on (N, T, U*V) == gather_blank_label on the
+    4D view, values and grads (grads come back in flat layout)."""
+    xs, loc = _make(V=64, blank=blank)
+    N, T, U, V = xs.shape
+    xs3 = xs.reshape(N, T, U * V)
+    want = gather_blank_label(xs, loc, blank)
+    got = gather.gather_blank_label_flat(xs3, loc, blank, V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+    g4 = jax.grad(lambda x: jnp.sum(gather_blank_label(x, loc, blank) ** 2))(xs)
+    g3 = jax.grad(
+        lambda x: jnp.sum(gather.gather_blank_label_flat(x, loc, blank, V) ** 2)
+    )(xs3)
+    np.testing.assert_allclose(
+        np.asarray(g3).reshape(N, T, U, V), np.asarray(g4), rtol=1e-6, atol=0
+    )
+
+
+def test_rnnt_loss_flat_layout_matches_4d():
+    """Public API: rnnt_loss on 3D (N, T, U*V) log_probs == the 4D call;
+    gradients come back flat and reshape to the 4D gradients.  Also the
+    fused from-logits entry."""
+    from warp_rnnt_tpu import rnnt_loss
+    from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+
+    rng = np.random.RandomState(9)
+    N, T, U, V = 3, 8, 5, 33
+    xs4 = jnp.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.randn(N, T, U, V), jnp.float32))
+    )
+    ys = jnp.asarray(rng.randint(1, V, (N, U - 1)).astype(np.int32))
+    xn = np.array([8, 6, 7], np.int32)
+    yn = np.array([4, 2, 3], np.int32)
+    xs3 = xs4.reshape(N, T, U * V)
+
+    want = rnnt_loss(xs4, ys, xn, yn, impl="scan")
+    got = jax.jit(
+        lambda x: rnnt_loss(x, ys, xn, yn, impl="scan")
+    )(xs3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    g4 = jax.grad(
+        lambda x: rnnt_loss(x, ys, xn, yn, reduction="sum", impl="scan")
+    )(xs4)
+    g3 = jax.grad(
+        lambda x: rnnt_loss(x, ys, xn, yn, reduction="sum", impl="scan")
+    )(xs3)
+    np.testing.assert_allclose(
+        np.asarray(g3).reshape(N, T, U, V), np.asarray(g4), rtol=1e-6, atol=1e-7
+    )
+
+    want_fl, gwant_fl = jax.value_and_grad(
+        lambda x: rnnt_loss_from_logits(x, ys, xn, yn, reduction="mean",
+                                        impl="scan")
+    )(xs4)
+    got_fl, ggot_fl = jax.value_and_grad(
+        lambda x: rnnt_loss_from_logits(x, ys, xn, yn, reduction="mean",
+                                        impl="scan")
+    )(xs3)
+    np.testing.assert_allclose(float(got_fl), float(want_fl), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ggot_fl).reshape(N, T, U, V), np.asarray(gwant_fl),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_flat_layout_bad_divisor_raises():
+    from warp_rnnt_tpu import rnnt_loss
+
+    xs3 = jnp.zeros((2, 4, 33), jnp.float32)  # 33 not divisible by U=4
+    ys = jnp.zeros((2, 3), jnp.int32)
+    with pytest.raises(ValueError, match="not divisible"):
+        rnnt_loss(xs3, ys, np.array([4, 4]), np.array([3, 3]))
+
+
 def test_terminal_blank_rows_accumulate_grads():
     # loc == blank rows must receive ct[...,0] + ct[...,1] at the blank col
     xs, loc = _make(V=12, blank=3)

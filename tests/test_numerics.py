@@ -35,6 +35,65 @@ def test_mismatch_zeroes_grads_and_averages_cost():
     np.testing.assert_array_equal(np.asarray(ge[1]), 0)
 
 
+def test_canary_mask_and_debug_warning(monkeypatch, capfd):
+    """The numerical canary is observable (reference `core.cu:353-354`):
+    with WARP_RNNT_DEBUG=1 a tripped consistency check prints a warning
+    naming the flagged samples, and `mismatch_mask` reports them."""
+    from warp_rnnt_tpu.functional.postprocess import mismatch_mask
+
+    monkeypatch.setenv("WARP_RNNT_DEBUG", "1")
+
+    N, T, U = 2, 3, 2
+    blank = jnp.full((N, T, U), -1.0, jnp.float32)
+    emit = jnp.full((N, T, U), -1.5, jnp.float32)
+    alphas = jnp.full((N, T, U), -2.0, jnp.float32)
+    betas = jnp.full((N, T, U), -2.0, jnp.float32)
+    xn = jnp.array([3, 3], jnp.int32)
+    yn = jnp.array([1, 1], jnp.int32)
+    betas = betas.at[:, 0, 0].set(-3.0)
+    alphas = alphas.at[1, 2, 1].set(-10.0)  # sample 1: ll_f = -11 vs ll_b = -3
+
+    bad = mismatch_mask(blank, alphas, betas, xn, yn)
+    np.testing.assert_array_equal(np.asarray(bad), [False, True])
+
+    # the warning prints from inside jit too (jax.debug.print)
+    costs, gb, ge = jax.jit(costs_and_grads)(
+        blank, emit, alphas, betas, xn, yn, 0.0
+    )
+    jax.block_until_ready(costs)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "WARNING" in out and "mismatch" in out
+    np.testing.assert_array_equal(np.asarray(gb[1]), 0)
+
+    # healthy batch: no warning
+    capfd.readouterr()
+    alphas_ok = alphas.at[1, 2, 1].set(-2.0)
+    costs, _, _ = jax.jit(costs_and_grads)(
+        blank, emit, alphas_ok, betas, xn, yn, 0.0
+    )
+    jax.block_until_ready(costs)
+    jax.effects_barrier()
+    assert "WARNING" not in capfd.readouterr().out
+
+
+def test_with_internals_returns_mismatch_mask():
+    """rnnt_loss_with_internals(return_mismatch=True) appends the (N,) canary
+    mask; a healthy batch reports all-False."""
+    case = golden.FORWARD_BATCH
+    out = rnnt_loss_with_internals(
+        jnp.asarray(case["xs"], jnp.float32), jnp.asarray(case["ys"]),
+        case["xn"], case["yn"], impl="scan", return_mismatch=True,
+    )
+    assert len(out) == 5
+    costs, grads, alphas, betas, bad = out
+    assert bad.shape == costs.shape and bad.dtype == jnp.bool_
+    np.testing.assert_array_equal(np.asarray(bad), False)
+    np.testing.assert_allclose(
+        np.asarray(costs), case["expected_costs"], rtol=1e-4, atol=2e-5
+    )
+
+
 def test_bf16_inputs_fp32_lattice():
     """bf16 joint outputs are accepted; lattice math runs fp32 and grads
     come back in the input dtype (BASELINE config 5 recipe)."""

@@ -110,6 +110,59 @@ def test_infeasible_band_returns_inf_and_zero_grads():
     assert np.all(np.isfinite(grads))
 
 
+def test_infeasible_sample_excluded_from_batch_reductions():
+    """reduction='sum'|'mean' skip infeasible samples (mean divides by the
+    feasible count), so one bad alignment cannot poison the batch loss with
+    +inf; feasible samples keep real gradients and the infeasible one stays
+    exactly zero.  See the contract note in functional/restricted.py."""
+    xs, ys, xn, yn = _batch(seed=11)
+    _, frames = rnnt_alignment(xs, ys, xn, yn)
+    frames_bad = np.asarray(frames).copy()
+    frames_bad[0, 0] = 8
+    frames_bad[0, 1:] = 0
+    frames_bad = jnp.asarray(frames_bad)
+
+    per_sample = np.asarray(
+        rnnt_loss_restricted(xs, ys, xn, yn, frames_bad, 0, 0,
+                             reduction="none")
+    )
+    assert np.isposinf(per_sample[0])
+    feasible = per_sample[1:]
+
+    s = float(rnnt_loss_restricted(xs, ys, xn, yn, frames_bad, 0, 0,
+                                   reduction="sum"))
+    m = float(rnnt_loss_restricted(xs, ys, xn, yn, frames_bad, 0, 0,
+                                   reduction="mean"))
+    np.testing.assert_allclose(s, feasible.sum(), rtol=1e-6)
+    np.testing.assert_allclose(m, feasible.mean(), rtol=1e-6)
+
+    grads = np.asarray(
+        jax.grad(
+            lambda z: rnnt_loss_restricted(z, ys, xn, yn, frames_bad, 0, 0,
+                                           reduction="mean")
+        )(xs)
+    )
+    assert np.all(grads[0] == 0.0)
+    assert np.any(grads[1] != 0.0)
+    assert np.all(np.isfinite(grads))
+
+    # all-infeasible batch: loss 0, grads 0, nothing NaNs
+    frames_all_bad = np.asarray(frames).copy()
+    frames_all_bad[:, 0] = 8
+    frames_all_bad[:, 1:] = 0
+    frames_all_bad = jnp.asarray(frames_all_bad)
+    m0 = float(rnnt_loss_restricted(xs, ys, xn, yn, frames_all_bad, 0, 0,
+                                    reduction="mean"))
+    assert m0 == 0.0
+    g0 = np.asarray(
+        jax.grad(
+            lambda z: rnnt_loss_restricted(z, ys, xn, yn, frames_all_bad, 0, 0,
+                                           reduction="mean")
+        )(xs)
+    )
+    assert np.all(g0 == 0.0)
+
+
 def test_restricted_jits_and_takes_gathered_input():
     xs, ys, xn, yn = _batch(seed=7)
     _, frames = rnnt_alignment(xs, ys, xn, yn)

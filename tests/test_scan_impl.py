@@ -188,9 +188,10 @@ def test_jit_compiles():
 
 
 def test_validation_errors():
-    xs3 = jnp.zeros((2, 3, 4))
+    # 3-D inputs are now the flat (N, T, U*V) layout; only <3-D is invalid
+    xs2 = jnp.zeros((2, 12))
     with pytest.raises(ValueError, match="4 dimensions"):
-        rnnt_loss(xs3, jnp.zeros((2, 3), jnp.int32), np.array([1, 1]), np.array([1, 1]))
+        rnnt_loss(xs2, jnp.zeros((2, 3), jnp.int32), np.array([1, 1]), np.array([1, 1]))
     with pytest.raises(ValueError, match="reduction"):
         rnnt_loss(
             jnp.zeros((1, 2, 2, 3)), jnp.zeros((1, 1), jnp.int32),

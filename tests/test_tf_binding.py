@@ -205,3 +205,74 @@ def test_reductions_and_average_frames():
     a = rnnt_loss(xs, ys, xn, yn, average_frames=True).numpy()
     np.testing.assert_allclose(s, c.sum(), rtol=1e-6)
     np.testing.assert_allclose(a, c / np.asarray(case["xn"]), rtol=1e-6)
+
+
+def test_tpu_only_conversion_embeds_mosaic_kernel():
+    """The TPU deployment path (`platforms=('tpu',)`) must carry the Pallas
+    column kernel in its serialized module — reference parity with the TF
+    binding registering the same fast kernels as torch
+    (`tensorflow_binding/binding.cpp:139-157`).  Cross-platform lowering
+    from this CPU test env exercises exactly what `_graph_core_tpu` wraps."""
+    import jax
+    import jax.numpy as jnp
+
+    from warp_rnnt_tpu.functional.core import rnnt_core
+    from warp_rnnt_tpu.functional.loss import _gather_blank_emit
+
+    case = golden.FORWARD_BATCH
+    xs = jnp.asarray(np.asarray(case["xs"]), jnp.float32)
+    ys = jnp.asarray(case["ys"])
+    xn = jnp.asarray(case["xn"])
+    yn = jnp.asarray(case["yn"])
+
+    def fn(xs, ys):
+        return rnnt_core(
+            _gather_blank_emit(xs, ys, 0), xn, yn, 0.0, "platform"
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=("tpu",))(xs, ys)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+    # the portable (cpu) half of the "platform" impl stays scan: executing
+    # locally matches the golden costs
+    exp_cpu = jax.export.export(jax.jit(fn), platforms=("cpu",))(xs, ys)
+    assert "tpu_custom_call" not in exp_cpu.mlir_module()
+    np.testing.assert_allclose(
+        np.asarray(exp_cpu.call(xs, ys)), case["expected_costs"],
+        rtol=1e-4, atol=2e-5,
+    )
+
+
+def test_tpu_only_graph_conversion_traces():
+    """`transducer_loss_graph(platforms=('tpu',))` builds a TF graph op
+    (XlaCallModule) on a CPU-only host — deployment artifacts can be built
+    anywhere; execution requires a TPU."""
+    from warp_rnnt_tpu.bindings.tf_binding import transducer_loss_graph
+
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+
+    @tf.function
+    def f(xs):
+        return transducer_loss_graph(xs, ys, xn, yn, platforms=("tpu",))
+
+    graph = f.get_concrete_function(
+        tf.TensorSpec(xs.shape, tf.float32)
+    ).graph
+    assert any("XlaCallModule" in op.type for op in graph.get_operations())
+
+
+def test_tpu_platforms_requires_static_batch():
+    from warp_rnnt_tpu.bindings.tf_binding import transducer_loss_graph
+
+    case = golden.FORWARD_BATCH
+    xs, ys, xn, yn = _t(case)
+
+    @tf.function
+    def f(xs):
+        return transducer_loss_graph(xs, ys, xn, yn, platforms=("tpu",))
+
+    with pytest.raises(Exception, match="static batch"):
+        f.get_concrete_function(
+            tf.TensorSpec([None] + list(xs.shape[1:]), tf.float32)
+        )

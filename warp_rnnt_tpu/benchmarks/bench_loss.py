@@ -20,7 +20,18 @@ CONFIGS = [
 ]
 
 
-def make_batch(key, N, T, U, V, dtype=jnp.float32):
+def use_flat_layout(N, T, U, V, dtype=jnp.float32):
+    """Above the >4 GiB gather cliff the flat (N, T, U*V) layout is the
+    intended production layout (`functional/gather.py`: a 4D operand pays a
+    full relayout copy to reach the fast gather; a producer materializing
+    the lattice at this size should emit it flat).  The benchmark feeds the
+    layout a well-configured producer would."""
+    from warp_rnnt_tpu.functional.gather import _FLAT3D_BYTES
+
+    return jnp.dtype(dtype).itemsize * N * T * (U + 1) * V > _FLAT3D_BYTES
+
+
+def make_batch(key, N, T, U, V, dtype=jnp.float32, flat=False):
     """Random benchmark inputs.
 
     The log-prob tensor is generated inside ONE jit (normal + log_softmax
@@ -29,15 +40,17 @@ def make_batch(key, N, T, U, V, dtype=jnp.float32):
     would OOM at N=128, T=1500) — there a single-buffer unnormalized
     surrogate is generated instead.  The loss kernels have no data-dependent
     control flow, so timing is identical.
+
+    flat=True emits the (N, T, (U+1)*V) flat layout (see `use_flat_layout`).
     """
     k1, k2, k3 = jax.random.split(key, 3)
-    shape = (N, T, U + 1, V)
+    shape = (N, T, (U + 1) * V) if flat else (N, T, U + 1, V)
     nbytes = jnp.dtype(dtype).itemsize * N * T * (U + 1) * V
     if nbytes <= 6 << 30:
         xs = jax.jit(
             lambda k: jax.nn.log_softmax(
-                jax.random.normal(k, shape, dtype), axis=-1
-            )
+                jax.random.normal(k, (N, T, U + 1, V), dtype), axis=-1
+            ).reshape(shape)
         )(k1)
     else:
         import math
@@ -68,7 +81,8 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto",
     )
 
     key = jax.random.PRNGKey(0)
-    xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype)
+    flat = use_flat_layout(N, T, U, V, dtype)
+    xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype, flat=flat)
 
     if grad:
         def loss_vg(xs):

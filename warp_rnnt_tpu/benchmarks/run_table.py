@@ -21,7 +21,7 @@ REFERENCE_GATHER_MS = {
 
 def run_one(N, T, U, V, iters, donate=True):
     """Entry point used in the per-config subprocess."""
-    from warp_rnnt_tpu.benchmarks.bench_loss import run_loss_bench
+    from warp_rnnt_tpu.benchmarks.bench_loss import run_loss_bench, use_flat_layout
 
     out = {
         "loss_grad_ms": round(
@@ -29,6 +29,10 @@ def run_one(N, T, U, V, iters, donate=True):
         ),
         "fwd_ms": round(run_loss_bench(N, T, U, V, iters, grad=False), 3),
     }
+    if use_flat_layout(N, T, U, V):
+        # above the >4 GiB gather cliff the benchmark feeds the flat
+        # (N, T, U*V) production layout (see bench_loss.use_flat_layout)
+        out["layout"] = "flat3d"
     print("RESULT " + json.dumps(out))
 
 

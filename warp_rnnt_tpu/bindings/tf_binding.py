@@ -80,7 +80,7 @@ def _compute(xs, ys, xn, yn, blank, fastemit_lambda):
     return np.asarray(costs), grads
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _graph_core(T: int, U: int, V: int, blank: int, fastemit_lambda: float):
     """jax2tf-converted core: (xs, ys, xn, yn) -> costs, differentiable
     w.r.t. xs.  T/U/V are concrete (the core's associative scans need
@@ -99,6 +99,11 @@ def _graph_core(T: int, U: int, V: int, blank: int, fastemit_lambda: float):
             gathered = xs
         else:
             gathered = _gather_blank_emit(xs, ys, blank)
+        # impl="scan": a (cpu, tpu) multi-platform module lowers every
+        # interior op for BOTH platforms (jax 0.9 `_cond_lowering` does not
+        # narrow the platform list inside `lax.platform_dependent` branches),
+        # so the Mosaic kernel cannot ride in this portable artifact — TPU
+        # deployments use `_graph_core_tpu` below instead.
         return rnnt_core(gathered, xn, yn, fastemit_lambda, "scan")
 
     # labels are (N, U-1) in every layout (with blank=-1 they are unused by
@@ -114,13 +119,72 @@ def _graph_core(T: int, U: int, V: int, blank: int, fastemit_lambda: float):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _graph_core_tpu(N: int, T: int, U: int, V: int, blank: int,
+                    fastemit_lambda: float):
+    """TPU-only jax2tf conversion carrying the Mosaic column kernel.
+
+    The fast path for TF-on-TPU: reference parity with the TF binding
+    registering the same CUDA kernels as torch
+    (`tensorflow_binding/binding.cpp:139-157`) — here the serialized
+    StableHLO embeds the Pallas `tpu_custom_call`, so a TF-TPU deployment
+    runs at kernel-class latency instead of the portable scan's (measured
+    22.1 ms vs 1.71 ms on the headline lattice, RESULTS.md).
+
+    Pallas needs fully static shapes, so this conversion is concrete in ALL
+    dims (one cache entry per (N, T, U, V)) and is serialized for tpu only —
+    the artifact will not load on cpu hosts; use the portable `_graph_core`
+    for mixed deployments.
+    """
+    from jax.experimental import jax2tf
+
+    from warp_rnnt_tpu.functional.core import rnnt_core
+    from warp_rnnt_tpu.functional.loss import _gather_blank_emit
+
+    def fn(xs, ys, xn, yn):
+        if blank == -1:
+            gathered = xs
+        else:
+            gathered = _gather_blank_emit(xs, ys, blank)
+        # "platform" keeps only the tpu branch (Mosaic, interpret forced
+        # off) in a single-platform serialization
+        return rnnt_core(gathered, xn, yn, fastemit_lambda, "platform")
+
+    return jax2tf.convert(
+        fn,
+        with_gradient=True,
+        native_serialization_platforms=("tpu",),
+    )
+
+
 def transducer_loss_graph(log_probs, labels, frames_lengths, labels_lengths,
-                          blank: int = 0, fastemit_lambda: float = 0.0):
+                          blank: int = 0, fastemit_lambda: float = 0.0,
+                          platforms=None):
     """Graph-native core op (XlaCallModule): per-sample costs, with true TF
     gradients w.r.t. log_probs.  Usable under jit_compile and in
-    SavedModels."""
+    SavedModels.
+
+    platforms: None (auto — tpu-only when TF sees a TPU and the batch dim is
+    static, portable otherwise), ("tpu",) to force the Pallas-kernel
+    conversion, or ("cpu", "tpu") to force the portable scan conversion.
+    """
     T, U, V = (int(d) for d in log_probs.shape[1:])
-    core = _graph_core(T, U, V, blank, float(fastemit_lambda))
+    batch = log_probs.shape[0]
+    if platforms is None:
+        on_tpu = bool(tf.config.list_logical_devices("TPU"))
+        platforms = ("tpu",) if on_tpu and batch is not None else ("cpu", "tpu")
+    platforms = tuple(platforms)
+    if platforms == ("tpu",):
+        if batch is None:
+            raise ValueError(
+                "platforms=('tpu',) needs a static batch dim (the Pallas"
+                " kernel is shape-specialized); pad/bucket the batch or use"
+                " the portable platforms=('cpu', 'tpu')"
+            )
+        core = _graph_core_tpu(int(batch), T, U, V, blank,
+                               float(fastemit_lambda))
+    else:
+        core = _graph_core(T, U, V, blank, float(fastemit_lambda))
     return core(
         log_probs,
         tf.cast(labels, tf.int32),
@@ -163,6 +227,7 @@ def rnnt_loss(
     gather: bool = False,
     fastemit_lambda: float = 0.0,
     graph: bool = True,
+    platforms=None,
 ):
     """The RNN-Transducer loss (TF front-end, reference-parity signature).
 
@@ -170,6 +235,17 @@ def rnnt_loss(
     docstring); graph=False uses the py_function bridge.  The graph path
     needs a statically-known vocabulary dim; if it is unknown the bridge is
     used automatically.
+
+    The graph path caches one conversion per (T, U, V) lattice geometry
+    (batch dim symbolic) in a bounded LRU (64 entries) — it is intended for
+    bucketed pipelines with a bounded set of static shapes.  A fully dynamic
+    pipeline where every batch has new (T, U) pays a full retrace/convert per
+    geometry; use graph=False there.
+
+    platforms: forwarded to `transducer_loss_graph` — None auto-selects the
+    tpu-only Pallas-kernel conversion when TF sees a TPU (13x faster lattice
+    sweep than the portable scan artifact), else the portable (cpu, tpu)
+    scan conversion.
     """
     assert average_frames is None or isinstance(average_frames, bool)
     assert reduction is None or reduction in ("none", "mean", "sum")
@@ -185,7 +261,7 @@ def rnnt_loss(
         # formulation; pre-gathering in TF would only add a scatter.
         costs = transducer_loss_graph(
             log_probs, labels, frames_lengths, labels_lengths, blank,
-            fastemit_lambda,
+            fastemit_lambda, platforms=platforms,
         )
     else:
         if gather and blank != -1:

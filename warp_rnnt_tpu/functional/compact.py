@@ -137,8 +137,13 @@ def _c2p_fwd(xs_gathered_compact, xn, yn, T, U):
 
 def _c2p_bwd(T, U, res, ct):
     xn, yn, stu = res
-    n, t, u, _, _ = _row_coordinates(stu, xn, yn)
-    return ct[n, t, u], None, None
+    n, t, u, _, cumlen = _row_coordinates(stu, xn, yn)
+    # Rows past sum(xn*(yn+1)) (a padded/bucketed packed buffer) have no
+    # coordinate: _row_coordinates clamps them onto the last sample, and the
+    # clamped gather would alias them onto real cells' gradients.  They must
+    # come back as exact zeros (the forward never reads them).
+    valid = (jnp.arange(stu, dtype=jnp.int32) < cumlen[-1])[:, None]
+    return jnp.where(valid, ct[n, t, u], 0.0), None, None
 
 
 compact_to_padded.defvjp(_c2p_fwd, _c2p_bwd)
@@ -185,9 +190,12 @@ def rnnt_loss_compact_with_internals(
     costs, grads_padded, _, _ = rnnt_core_with_internals(
         padded, xn, yn, fastemit_lambda, impl
     )
-    # padded (N,T,U,2) -> packed (STU, 2): inverse of compact_to_padded
-    n, t, u, _, _ = _row_coordinates(stu, xn, yn)
-    grads_packed2 = grads_padded[n, t, u]  # (STU, 2)
+    # padded (N,T,U,2) -> packed (STU, 2): inverse of compact_to_padded.
+    # Pad rows (STU beyond sum(xn*(yn+1))) are masked to zero — the clamped
+    # gather would otherwise alias them onto the last sample's cells.
+    n, t, u, _, cumlen = _row_coordinates(stu, xn, yn)
+    valid_row = (jnp.arange(stu, dtype=jnp.int32) < cumlen[-1])[:, None]
+    grads_packed2 = jnp.where(valid_row, grads_padded[n, t, u], 0.0)  # (STU, 2)
     # packed 2-wide -> packed (STU, V): blank + loc scatter-add (collision on
     # terminal rows where loc == blank accumulates, matching the reference
     # scatter kernel's two writes of which the label one is zero there).

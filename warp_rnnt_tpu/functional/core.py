@@ -39,10 +39,56 @@ def _select_impl(impl: str) -> str:
     return impl
 
 
+class _PlatformDispatch:
+    """Lowering-time backend dispatch via `jax.lax.platform_dependent`.
+
+    The trace-time device check in `_select_impl("auto")` sees the HOST
+    platform, which is wrong for cross-platform lowering (multi-platform
+    `jax.export` / jax2tf serialized for cpu AND tpu — the path behind the
+    TF graph op, `bindings/tf_binding.py`).  This backend defers the choice
+    to lowering: the tpu lowering gets the Mosaic column kernel (interpret
+    forced off — the host backend may be cpu during export), every other
+    platform gets the pure-XLA scan.  Matches the reference's TF binding
+    running the same fast kernels as torch (`tensorflow_binding/binding.cpp:
+    139-157`).
+    """
+
+    @staticmethod
+    def _pallas():
+        from warp_rnnt_tpu.ops import pallas_impl
+
+        return pallas_impl
+
+    @staticmethod
+    def forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda):
+        pallas_impl = _PlatformDispatch._pallas()
+        return jax.lax.platform_dependent(
+            blank_lp, emit_lp, xn, yn,
+            tpu=functools.partial(
+                pallas_impl.forward_backward,
+                fastemit_lambda=fastemit_lambda, interpret=False,
+            ),
+            default=functools.partial(
+                scan_impl.forward_backward, fastemit_lambda=fastemit_lambda
+            ),
+        )
+
+    @staticmethod
+    def costs_only(blank_lp, emit_lp, xn, yn):
+        pallas_impl = _PlatformDispatch._pallas()
+        return jax.lax.platform_dependent(
+            blank_lp, emit_lp, xn, yn,
+            tpu=functools.partial(pallas_impl.costs_only, interpret=False),
+            default=scan_impl.costs_only,
+        )
+
+
 def _backend(impl: str):
     impl = _select_impl(impl)
     if impl == "scan":
         return scan_impl
+    if impl == "platform":
+        return _PlatformDispatch
     if impl in ("pallas", "pallas_col"):
         # column-scan kernel: the TPU path (zero relayout overhead).  A
         # diagonal-wavefront kernel (one LSE per cell, the algorithmic

@@ -46,9 +46,10 @@ def _gather2(logits, loc, blank):
     # into consumers, so HBM rows are e.g. bf16-sized for a bf16 joint and
     # the mask-vs-taa crossover doubles (see gather._MASK_ROW_BYTES)
     in_dtype = logits.dtype
+    use_flat3d = _gather._use_flat3d(logits, loc)  # decide on the pre-cast array
     logits = logits.astype(jnp.float32)
     logZ = jax.nn.logsumexp(logits, axis=-1)
-    if _gather._use_flat3d(logits, loc):
+    if use_flat3d:
         # >4 GiB: flat (N, T, U*V) indexing keeps XLA's fast gather path
         # (see gather._FLAT3D_BYTES)
         g2 = _gather._gather_4d_flat3d(logits, loc, blank)
@@ -64,20 +65,57 @@ def _gather2(logits, loc, blank):
     return blank_lp, emit - logZ, logZ
 
 
+def _gather2_flat(logits3, loc, blank, V):
+    """Flat-layout twin of `_gather2`: logits3 (N, T, U*V), loc (N, T, U).
+
+    The taa gather runs directly on the flat operand (the fast formulation
+    above the >4 GiB cliff — no 4D relayout); logZ reduces over a logical
+    (N, T, U, V) view that XLA folds into the reduction fusion.
+    """
+    logits3 = logits3.astype(jnp.float32)
+    N, T, U = loc.shape
+    logZ = jax.nn.logsumexp(logits3.reshape(N, T, U, V), axis=-1)
+    blank3, lab3 = _gather._flat3d_indices(loc, blank, V)
+    blank_lp = jnp.take_along_axis(logits3, blank3, axis=-1) - logZ
+    emit_lp = jnp.take_along_axis(logits3, lab3, axis=-1) - logZ
+    return blank_lp, emit_lp, logZ
+
+
+def _logits_dims(logits, labels):
+    """(N, T, U, V) for either layout; flat derives U from the labels."""
+    if logits.ndim == 4:
+        return logits.shape
+    N, T, UV = logits.shape
+    U = labels.shape[1] + 1
+    if UV % U != 0:
+        raise ValueError(
+            f"flat logits last dim {UV} is not divisible by U={U}"
+            " (expected (N, T, U*V) with U = labels.shape[1] + 1)"
+        )
+    return N, T, U, UV // U
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def rnnt_logits_core(logits, labels, xn, yn, blank=0, fastemit_lambda=0.0,
                      impl="auto"):
-    """Per-sample costs from raw logits (N, T, U, V)."""
-    N, T, U, V = logits.shape
+    """Per-sample costs from raw logits — (N, T, U, V), or the flat
+    (N, T, U*V) layout (the fast form above the >4 GiB gather cliff)."""
+    N, T, U, V = _logits_dims(logits, labels)
     loc = _labels_loc(labels, blank, N, T, U)
-    blank_lp, emit_lp, _ = _gather2(logits, loc, blank)
+    if logits.ndim == 3:
+        blank_lp, emit_lp, _ = _gather2_flat(logits, loc, blank, V)
+    else:
+        blank_lp, emit_lp, _ = _gather2(logits, loc, blank)
     return _costs_only(blank_lp, emit_lp, xn, yn, impl)
 
 
 def _fwd(logits, labels, xn, yn, blank, fastemit_lambda, impl):
-    N, T, U, V = logits.shape
+    N, T, U, V = _logits_dims(logits, labels)
     loc = _labels_loc(labels, blank, N, T, U)
-    blank_lp, emit_lp, logZ = _gather2(logits, loc, blank)
+    if logits.ndim == 3:
+        blank_lp, emit_lp, logZ = _gather2_flat(logits, loc, blank, V)
+    else:
+        blank_lp, emit_lp, logZ = _gather2(logits, loc, blank)
     costs, g_blank, g_emit, _, _ = _forward_backward(
         blank_lp, emit_lp, xn, yn, fastemit_lambda, impl
     )
@@ -86,14 +124,20 @@ def _fwd(logits, labels, xn, yn, blank, fastemit_lambda, impl):
 
 def _bwd(blank, fastemit_lambda, impl, res, ct):
     logits, loc, logZ, g_blank, g_emit = res
-    V = logits.shape[-1]
+    flat = logits.ndim == 3
+    V = logits.shape[-1] // loc.shape[-1] if flat else logits.shape[-1]
+    x4 = (
+        logits.reshape(loc.shape + (V,)) if flat else logits
+    ).astype(jnp.float32)
     v_iota = jnp.arange(V, dtype=jnp.int32).reshape((1,) * loc.ndim + (V,))
-    softmax = jnp.exp(logits.astype(jnp.float32) - logZ[..., None])
+    softmax = jnp.exp(x4 - logZ[..., None])
     gsum = (g_blank + g_emit)[..., None]
     sparse = g_blank[..., None] * (v_iota == blank) + g_emit[..., None] * (
         v_iota == loc[..., None]
     )
     d = ct[:, None, None, None].astype(jnp.float32) * (sparse - softmax * gsum)
+    if flat:
+        d = d.reshape(logits.shape)
     return d.astype(logits.dtype), None, None, None
 
 
@@ -118,8 +162,11 @@ def rnnt_loss_from_logits(
             f"Unknown reduction method: {reduction}, expected to be one of"
             " ['mean', 'sum', 'none']"
         )
-    if logits.ndim != 4:
-        raise ValueError("logits must have 4 dimensions (N, T, U, V)")
+    if logits.ndim not in (3, 4):
+        raise ValueError(
+            "logits must have 4 dimensions (N, T, U, V) or 3 for the flat"
+            " (N, T, U*V) layout"
+        )
     xn = jnp.asarray(frames_lengths, jnp.int32)
     yn = jnp.asarray(labels_lengths, jnp.int32)
     costs = rnnt_logits_core(

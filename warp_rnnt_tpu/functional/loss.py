@@ -22,7 +22,10 @@ from typing import Optional
 import jax.numpy as jnp
 
 from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
-from warp_rnnt_tpu.functional.gather import gather_blank_label
+from warp_rnnt_tpu.functional.gather import (
+    gather_blank_label,
+    gather_blank_label_flat,
+)
 
 
 def _gather_blank_emit(log_probs, labels, blank):
@@ -46,6 +49,34 @@ def _gather_blank_emit(log_probs, labels, blank):
     return gather_blank_label(log_probs, loc, blank)
 
 
+def _gather_blank_emit_flat(log_probs3, labels, blank):
+    """Flat layout: (N, T, U*V) + (N, U-1) labels -> gathered (N, T, U, 2).
+
+    Same index construction as `_gather_blank_emit` on the flat layout a
+    large-V producer should emit natively (see
+    `gather.gather_blank_label_flat` — the 4D layout pays a relayout copy
+    above the >4 GiB gather cliff, the flat one does not).  U is derived
+    from the labels (U = labels.shape[1] + 1) and V = flat_dim // U.
+    """
+    N, T, UV = log_probs3.shape
+    U = labels.shape[1] + 1
+    if labels.shape[0] != N:
+        raise ValueError(
+            f"labels batch dim {labels.shape[0]} != log_probs batch dim {N}"
+        )
+    if UV % U != 0:
+        raise ValueError(
+            f"flat log_probs last dim {UV} is not divisible by U={U}"
+            " (expected (N, T, U*V) with U = labels.shape[1] + 1)"
+        )
+    V = UV // U
+    labels_ext = jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.full((N, 1), blank, jnp.int32)], axis=1
+    )
+    loc = jnp.broadcast_to(labels_ext[:, None, :], (N, T, U))
+    return gather_blank_label_flat(log_probs3, loc, blank, V)
+
+
 def rnnt_loss(
     log_probs,
     labels,
@@ -65,6 +96,12 @@ def rnnt_loss(
 
     Args:
       log_probs: (N, T, U, V) log-softmax outputs, where U = max(yn) + 1.
+        A 3-D (N, T, U*V) tensor is accepted as the FLAT layout (U derived
+        from the labels): semantically identical, but above the ~4 GiB
+        gather cliff the flat layout is the fast one — a 4-D operand pays a
+        full relayout copy to reach XLA's fast gather path (see
+        `warp_rnnt_tpu.functional.gather`); producers of huge lattices
+        should emit flat and gradients come back flat.
         With ``blank=-1`` a pre-gathered (N, T, U, 2) lattice is expected
         (channel 0 = blank, 1 = label), matching the reference sentinel
         (`pytorch_binding/binding.cpp:81-90`).  With ``compact=True`` a packed
@@ -108,14 +145,19 @@ def rnnt_loss(
             max_frames=max_frames, max_labels=max_labels,
         )
     else:
-        if log_probs.ndim != 4:
-            raise ValueError("log_probs must have 4 dimensions (N, T, U, V)")
+        if log_probs.ndim not in (3, 4):
+            raise ValueError(
+                "log_probs must have 4 dimensions (N, T, U, V) or 3 for the"
+                " flat (N, T, U*V) layout"
+            )
         if blank == -1:
-            if log_probs.shape[-1] != 2:
+            if log_probs.ndim != 4 or log_probs.shape[-1] != 2:
                 raise ValueError(
                     "blank=-1 expects pre-gathered log_probs with last dim 2"
                 )
             xs_gathered = log_probs
+        elif log_probs.ndim == 3:
+            xs_gathered = _gather_blank_emit_flat(log_probs, labels, blank)
         else:
             xs_gathered = _gather_blank_emit(log_probs, labels, blank)
         costs = rnnt_core(xs_gathered, xn, yn, fastemit_lambda, impl)
@@ -133,13 +175,23 @@ def rnnt_loss(
 def rnnt_loss_with_internals(
     log_probs, labels, frames_lengths, labels_lengths,
     blank: int = 0, fastemit_lambda: float = 0.0, impl: str = "auto",
+    return_mismatch: bool = False,
 ):
     """Debug/conformance entry for the padded layout.
 
     Returns (costs (N,), grads, alphas (N,T,U), betas (N,T,U)) where grads is
     (N, T, U, V) scattered into the full vocabulary (zeros elsewhere), or
     (N, T, U, 2) when blank=-1.
+
+    With ``return_mismatch=True`` a fifth element is appended: the (N,) bool
+    numerical-canary mask (True = that sample tripped the forward/backward
+    consistency check, its grads were zeroed and its cost averaged —
+    reference `core.cu:343-369`).  Set the env var ``WARP_RNNT_DEBUG=1`` to
+    additionally `jax.debug.print` a warning whenever the canary trips
+    (reference `core.cu:353-354`).
     """
+    from warp_rnnt_tpu.functional.postprocess import mismatch_mask
+
     xn = jnp.asarray(frames_lengths, jnp.int32)
     yn = jnp.asarray(labels_lengths, jnp.int32)
     if blank == -1:
@@ -147,6 +199,9 @@ def rnnt_loss_with_internals(
         costs, grads_g, alphas, betas = rnnt_core_with_internals(
             xs_gathered, xn, yn, fastemit_lambda, impl
         )
+        if return_mismatch:
+            bad = mismatch_mask(xs_gathered[..., 0], alphas, betas, xn, yn)
+            return costs, grads_g, alphas, betas, bad
         return costs, grads_g, alphas, betas
 
     N, T, U, V = log_probs.shape
@@ -175,4 +230,7 @@ def rnnt_loss_with_internals(
         jnp.arange(U)[None, None, :],
         label_idx[..., 0],
     ].add(grads_g[..., 1])
+    if return_mismatch:
+        bad = mismatch_mask(xs_gathered[..., 0], alphas, betas, xn, yn)
+        return costs, grads, alphas, betas, bad
     return costs, grads, alphas, betas

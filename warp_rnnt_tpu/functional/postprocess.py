@@ -17,9 +17,36 @@ Semantics (reference `core.cu:260-370`):
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from warp_rnnt_tpu.utils.lse import NEG_INF
+
+
+def _canary_debug_enabled() -> bool:
+    """Opt-in observability for the forward/backward consistency check
+    (read at trace time; set WARP_RNNT_DEBUG=1 before building the jit)."""
+    return os.environ.get("WARP_RNNT_DEBUG", "") not in ("", "0", "false", "False")
+
+
+def loglik_forward_backward(blank_lp, alphas, betas, xn, yn):
+    """Terminal forward log-likelihood and backward log-likelihood per sample
+    (reference `core.cu:343-352`)."""
+    n_iota = jnp.arange(blank_lp.shape[0])
+    ll_b = betas[:, 0, 0]
+    ll_f = alphas[n_iota, xn - 1, yn] + blank_lp[n_iota, xn - 1, yn]
+    return ll_f, ll_b
+
+
+def mismatch_mask(blank_lp, alphas, betas, xn, yn):
+    """Boolean (N,) mask of samples whose forward/backward log-likelihoods
+    disagree by >0.1% — the numerical canary (reference `core.cu:343-369`).
+    Flagged samples get zero gradients and an averaged cost."""
+    ll_f, ll_b = loglik_forward_backward(blank_lp, alphas, betas, xn, yn)
+    ratio = jnp.abs(ll_f - ll_b) / jnp.abs(jnp.maximum(ll_f, ll_b))
+    return ratio > 0.001
 
 
 def costs_and_grads(blank_lp, emit_lp, alphas, betas, xn, yn, fastemit_lambda):
@@ -29,13 +56,23 @@ def costs_and_grads(blank_lp, emit_lp, alphas, betas, xn, yn, fastemit_lambda):
     N, T, U = blank_lp.shape
     dtype = blank_lp.dtype
 
-    n_iota = jnp.arange(N)
-    ll_b = betas[:, 0, 0]
-    ll_f = alphas[n_iota, xn - 1, yn] + blank_lp[n_iota, xn - 1, yn]
-
+    ll_f, ll_b = loglik_forward_backward(blank_lp, alphas, betas, xn, yn)
     ratio = jnp.abs(ll_f - ll_b) / jnp.abs(jnp.maximum(ll_f, ll_b))
     bad = ratio > 0.001
     costs = jnp.where(bad, -(ll_f + ll_b) * 0.5, -ll_b)
+
+    if _canary_debug_enabled():
+        # Reference observability (`core.cu:353-354`): warn, naming the
+        # samples, before zeroing their grads.  jax.debug.print survives jit.
+        def _warn(b=bad, f=ll_f, lb=ll_b):
+            jax.debug.print(
+                "warp_rnnt_tpu WARNING: forward/backward mismatch — grads"
+                " zeroed and cost averaged for flagged samples."
+                " mask={m} ll_forward={f} ll_backward={b}",
+                m=b, f=f, b=lb,
+            )
+
+        jax.lax.cond(jnp.any(bad), _warn, lambda: None)
 
     t_iota = jnp.arange(T)[None, :, None]
     u_iota = jnp.arange(U)[None, None, :]

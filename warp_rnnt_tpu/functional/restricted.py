@@ -94,13 +94,24 @@ def rnnt_loss_restricted(
     costs = rnnt_core(xs_masked, xn, yn, fastemit_lambda, impl)
     # Infeasible-band contract: if the restriction prunes EVERY path (e.g.
     # the bands force labels out of order), beta[0,0] is the NEG sentinel and
-    # the raw cost comes back ~1e30.  Surface that as +inf — unambiguous and
-    # propagating — and zero the sample's gradients (the jnp.where cotangent
-    # for the inf branch is 0, which kills the whole sample in rnnt_core's
-    # elementwise-multiply backward).  Tested in tests/test_restricted.py.
-    costs = jnp.where(costs < -0.5 * NEG, costs, jnp.inf)
+    # the raw cost comes back ~1e30.
+    #   * reduction='none': the sample's cost surfaces as +inf — unambiguous
+    #     and propagating — with exactly-zero gradients (the jnp.where
+    #     cotangent for the inf branch is 0, which kills the whole sample in
+    #     rnnt_core's elementwise-multiply backward).
+    #   * reduction='sum'|'mean': infeasible samples are EXCLUDED from the
+    #     reduction ('mean' divides by the feasible count), so one bad
+    #     alignment cannot turn the whole batch's loss into +inf and stall
+    #     training; their gradients stay exactly zero.  An all-infeasible
+    #     batch reduces to 0.0 with zero gradients.
+    # Both halves are tested in tests/test_restricted.py.
+    feasible = costs < -0.5 * NEG
+    costs = jnp.where(feasible, costs, jnp.inf)
     if average_frames:
         costs = costs / xn.astype(costs.dtype)
     if reduction in (None, "none"):
         return costs
-    return costs.sum() if reduction == "sum" else costs.mean()
+    safe = jnp.where(feasible, costs, 0.0)
+    if reduction == "sum":
+        return safe.sum()
+    return safe.sum() / jnp.maximum(feasible.sum(), 1).astype(safe.dtype)

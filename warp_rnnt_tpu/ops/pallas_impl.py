@@ -186,11 +186,18 @@ def _choose_bu(U: int, N_pad: int, T_pad: int) -> int:
     return max(1, min(int(bu), 8, U))
 
 
-def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
+def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True,
+               interpret: bool | None = None):
     """Run the fused column sweep.  Inputs/outputs (N, T, U) fp32.
 
     Returns (alphas, betas); alphas is None when ``compute_alpha=False`` —
     the beta-only inference path.
+
+    ``interpret=None`` auto-selects by the trace-time default backend;
+    pass False to force Mosaic compilation regardless (required when
+    cross-platform lowering for TPU from a CPU host, e.g. the multi-platform
+    jax.export behind the TF graph op — trace-time backend checks see the
+    host there, not the target).
     """
     N, T, U = blank_lp.shape
     N_pad = _round_up(max(N, 8), 8)
@@ -233,7 +240,8 @@ def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
 
     sweeps = 2 if compute_alpha else 1
     flops_scan = sweeps * U_blk * N_pad * T_pad * (int(math.log2(T_pad)) + 1) * 8
-    interpret = jax.default_backend() != "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     common = dict(
         grid=(G,),
         cost_estimate=pl.CostEstimate(
@@ -284,20 +292,23 @@ def alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha: bool = True):
     return alphas, betas
 
 
-def forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda=0.0):
+def forward_backward(blank_lp, emit_lp, xn, yn, fastemit_lambda=0.0,
+                     interpret=None):
     """Pallas-backed equivalent of `scan_impl.forward_backward`."""
     blank_lp = blank_lp.astype(jnp.float32)
     emit_lp = emit_lp.astype(jnp.float32)
-    alphas, betas = alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha=True)
+    alphas, betas = alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha=True,
+                               interpret=interpret)
     costs, g_blank, g_emit = costs_and_grads(
         blank_lp, emit_lp, alphas, betas, xn, yn, fastemit_lambda
     )
     return costs, g_blank, g_emit, alphas, betas
 
 
-def costs_only(blank_lp, emit_lp, xn, yn):
+def costs_only(blank_lp, emit_lp, xn, yn, interpret=None):
     """Beta-only inference sweep (reference `core_compact.cu:371-378`)."""
     blank_lp = blank_lp.astype(jnp.float32)
     emit_lp = emit_lp.astype(jnp.float32)
-    _, betas = alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha=False)
+    _, betas = alpha_beta(blank_lp, emit_lp, xn, yn, compute_alpha=False,
+                          interpret=interpret)
     return -betas[:, 0, 0]
