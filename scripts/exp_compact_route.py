@@ -63,6 +63,8 @@ def main(N=16, T=1500, U_lab=300, V=50):
 
     ms = bench_grad_chain(jax.jit(compact_vg, donate_argnums=0), packed, 8)
     print(f"compact loss+grad (current): {ms:8.2f} ms", flush=True)
+    # the donated chain consumed `packed`; regenerate for the micro section
+    packed = jax.jit(lambda k: jax.random.normal(k, (STU, V)) * 0.5 - np.log(V))(key)
 
     # ---- 2. padded pipeline reference -------------------------------------
     padded_xs = jax.jit(

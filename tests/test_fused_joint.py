@@ -1,0 +1,158 @@
+"""Fused joint+loss Pallas kernel (interpret mode on CPU): forward parity
+with the unfused XLA composition, gradient parity through all four joint
+parameters, and the public `rnnt_loss_fused_joint` wrapper vs the flax
+Joint + from-logits path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warp_rnnt_tpu.functional.core import rnnt_core
+from warp_rnnt_tpu.ops.fused_joint import (
+    _labels_ext,
+    fused_joint_core,
+    joint_lattice_fwd,
+    rnnt_loss_fused_joint,
+)
+
+
+def _setup(N=2, T=10, U=5, V=33, H=16, blank=0, seed=0):
+    rng = np.random.RandomState(seed)
+    a = jnp.asarray(rng.randn(N, T, H).astype(np.float32)) * 0.3
+    c = jnp.asarray(rng.randn(N, U, H).astype(np.float32)) * 0.3
+    w = jnp.asarray(rng.randn(H, V).astype(np.float32)) * 0.2
+    b = jnp.asarray(rng.randn(V).astype(np.float32)) * 0.1
+    labels = jnp.asarray(rng.randint(1, V, (N, U - 1)).astype(np.int32))
+    xn = jnp.asarray(rng.randint(U, T + 1, size=N).astype(np.int32))
+    yn = jnp.asarray(rng.randint(1, U, size=N).astype(np.int32))
+    return a, c, w, b, labels, xn, yn
+
+
+def _ref_lattice(a, c, w, b, labels, blank):
+    N, T, H = a.shape
+    U = c.shape[1]
+    V = w.shape[1]
+    h = jnp.tanh(a[:, :, None, :] + c[:, None, :, :])
+    z = jax.lax.dot_general(
+        h.astype(jnp.bfloat16).reshape(-1, H), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(N, T, U, V) + b
+    lab = _labels_ext(labels, blank, N)
+    lz = jax.nn.logsumexp(z, -1)
+    bl = z[..., blank]
+    el = jnp.take_along_axis(
+        z, jnp.broadcast_to(lab[:, None, :, None], (N, T, U, 1)), -1
+    )[..., 0]
+    return bl, el, lz
+
+
+@pytest.mark.parametrize("blank", [0, 3])
+@pytest.mark.parametrize("shape", [(2, 10, 5, 33, 16), (1, 17, 9, 40, 24)])
+def test_lattice_forward_parity(shape, blank):
+    """Kernel blank/emit/logZ == unfused composition, including non-divisible
+    T/U (block-edge padding) and nonzero blank."""
+    a, c, w, b, labels, xn, yn = _setup(*shape, blank=blank)
+    lab = _labels_ext(labels, blank, a.shape[0])
+    bl_r, el_r, lz_r = _ref_lattice(a, c, w, b, labels, blank)
+    bl_k, el_k, lz_k = joint_lattice_fwd(a, c, w, b, lab, blank)
+    np.testing.assert_allclose(np.asarray(bl_k), np.asarray(bl_r), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(el_k), np.asarray(el_r), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lz_k), np.asarray(lz_r), rtol=1e-6, atol=1e-5)
+
+
+def test_costs_and_grads_match_unfused():
+    a, c, w, b, labels, xn, yn = _setup()
+
+    def ref(a, c, w, b):
+        bl, el, lz = _ref_lattice(a, c, w, b, labels, 0)
+        return rnnt_core(
+            jnp.stack([bl - lz, el - lz], -1), xn, yn, 0.0, "scan"
+        ).sum()
+
+    def fused(a, c, w, b):
+        return fused_joint_core(a, c, w, b, labels, xn, yn, 0, 0.0, "scan").sum()
+
+    np.testing.assert_allclose(float(fused(a, c, w, b)), float(ref(a, c, w, b)),
+                               rtol=1e-5)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3))(a, c, w, b)
+    gk = jax.grad(fused, argnums=(0, 1, 2, 3))(a, c, w, b)
+    for name, r, k in zip(("da", "dc", "dw", "db"), gr, gk):
+        r, k = np.asarray(r), np.asarray(k)
+        assert np.isfinite(k).all(), name
+        np.testing.assert_allclose(
+            k, r, rtol=5e-2, atol=max(2e-2 * np.abs(r).max(), 1e-5),
+            err_msg=name,
+        )
+
+
+def test_grads_zero_outside_valid_region():
+    """Cells beyond (xn, yn) contribute nothing: d_a rows past xn and d_c
+    rows past yn+1 must be exactly zero."""
+    a, c, w, b, labels, xn, yn = _setup(N=2, T=12, U=6)
+    xn = jnp.array([8, 6], jnp.int32)
+    yn = jnp.array([3, 2], jnp.int32)
+    da, dc = jax.grad(
+        lambda a, c: fused_joint_core(
+            a, c, w, b, labels, xn, yn, 0, 0.0, "scan"
+        ).sum(),
+        argnums=(0, 1),
+    )(a, c)
+    da, dc = np.asarray(da), np.asarray(dc)
+    np.testing.assert_array_equal(da[0, 8:], 0.0)
+    np.testing.assert_array_equal(da[1, 6:], 0.0)
+    np.testing.assert_array_equal(dc[0, 4:], 0.0)
+    np.testing.assert_array_equal(dc[1, 3:], 0.0)
+
+
+def test_public_wrapper_matches_flax_joint():
+    """rnnt_loss_fused_joint == Joint(normalize=False) + rnnt_loss_from_logits
+    with the same parameters, for both loss and input gradients."""
+    from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+    from warp_rnnt_tpu.models.joint import Joint
+
+    rng = np.random.RandomState(3)
+    N, T, U, V, H, F = 2, 9, 4, 29, 16, 12
+    f = jnp.asarray(rng.randn(N, T, F).astype(np.float32)) * 0.4
+    g = jnp.asarray(rng.randn(N, U, F).astype(np.float32)) * 0.4
+    labels = jnp.asarray(rng.randint(1, V, (N, U - 1)).astype(np.int32))
+    xn = jnp.array([9, 7], jnp.int32)
+    yn = jnp.array([3, 2], jnp.int32)
+
+    import flax.linen as nn
+
+    joint = Joint(vocab_size=V, hidden=H)
+    variables = joint.init(jax.random.PRNGKey(0), f, g)
+    p = nn.unbox(variables)["params"]
+    params = dict(
+        w_pre=p["pre"]["kernel"], b_pre=p["pre"]["bias"],
+        w_out=p["out"]["kernel"], b_out=p["out"]["bias"],
+    )
+
+    def unfused(f, g):
+        logits = joint.apply(variables, f, g, normalize=False)
+        return rnnt_loss_from_logits(
+            logits, labels, xn, yn, reduction="sum", impl="scan"
+        )
+
+    def fused(f, g):
+        return rnnt_loss_fused_joint(
+            f, g, params, labels, xn, yn, reduction="sum", impl="scan"
+        )
+
+    lr, (gfr, ggr) = jax.value_and_grad(unfused, argnums=(0, 1))(f, g)
+    lk, (gfk, ggk) = jax.value_and_grad(fused, argnums=(0, 1))(f, g)
+    np.testing.assert_allclose(float(lk), float(lr), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(gfk), np.asarray(gfr), rtol=0.1,
+                               atol=2e-2 * float(np.abs(np.asarray(gfr)).max()))
+    np.testing.assert_allclose(np.asarray(ggk), np.asarray(ggr), rtol=0.1,
+                               atol=2e-2 * float(np.abs(np.asarray(ggr)).max()))
+
+
+def test_fused_joint_under_jit():
+    a, c, w, b, labels, xn, yn = _setup()
+    f = jax.jit(
+        lambda a, c: fused_joint_core(a, c, w, b, labels, xn, yn, 0, 0.0, "scan")
+    )
+    eager = fused_joint_core(a, c, w, b, labels, xn, yn, 0, 0.0, "scan")
+    np.testing.assert_allclose(np.asarray(f(a, c)), np.asarray(eager), rtol=1e-6)

@@ -1,0 +1,383 @@
+"""Fused joint-projection + RNN-T loss lattice (Pallas TPU kernel).
+
+The reference architecture REQUIRES materialized (N, T, U, V) log-probs
+before the loss (`README.md:59`); even our fused from-logits path still
+materializes raw logits.  At production joint sizes that tensor is the
+largest buffer in the training step (N=16, T=150, U=21, V=5000 -> 1.0 GB
+fp32) and its HBM round-trips dominate the step.
+
+This kernel removes it: consuming the PROJECTED joint halves
+
+    a = f @ A + b_pre   (N, T, H)     c = g @ C   (N, U, H)
+
+(both joint modes reduce to this form: "add" has A = C = W_pre, "concat"
+splits W_pre into row blocks), it computes per (t, u) tile on the MXU
+
+    h      = tanh(a_t + c_u)                  # (BT*BU, H) in bf16
+    logits = h @ W_out + b_out                # (BT*BU, V) fp32 accum
+
+and emits ONLY the per-cell blank logit, label logit, and logsumexp — three
+(N, T, U) tensors.  The (N, T, U, V) logits never touch HBM in either
+direction: the backward kernel recomputes h and the softmax per tile from
+(a, c, logZ) and accumulates d_a, d_c, d_W, d_b in VMEM.
+
+FLOP cost is the joint projection itself (N*T*U*(H*V) MACs, bf16 on the
+MXU); HBM traffic is O(N*T*(H+U)) — asymptotically V-free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 96 << 20
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tiles(T: int, U: int):
+    """Choose (BT, BU): BT*BU is the MXU M-dim per tile — target ~256 rows.
+    U is kept whole when small (typical RNN-T: U ~ 20-40), so the u-grid is
+    one block and d_c accumulation never leaves VMEM."""
+    BU = min(_round_up(U, 8), 32)
+    BT = max(8, ((256 // BU) // 8) * 8)
+    return BT, BU
+
+
+def _fwd_kernel(a_ref, c_ref, w_ref, b_ref, lab_ref,
+                blank_ref, emit_ref, logz_ref, *, blank: int,
+                T: int, U: int, BT: int, BU: int):
+    a = a_ref[0]            # (BT, H) fp32
+    c = c_ref[0]            # (BU, H) fp32
+    h = jnp.tanh(a[:, None, :] + c[None, :, :])          # (BT, BU, H)
+    hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+    w = w_ref[:]                                          # (H, V) bf16
+    z = jax.lax.dot_general(
+        hm, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[0][None, :]                                 # (BT*BU, V) fp32
+    V = z.shape[-1]
+    z3 = z.reshape(BT, BU, V)
+    m = jnp.max(z3, axis=-1)
+    logz = m + jnp.log(jnp.sum(jnp.exp(z3 - m[..., None]), axis=-1))
+    lab = lab_ref[0].reshape(1, BU, 1)                    # (1, BU, 1) int32
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
+    emit = jnp.sum(jnp.where(v_iota == lab, z3, 0.0), axis=-1)
+    blank_ref[0] = z3[:, :, blank]
+    emit_ref[0] = emit
+    logz_ref[0] = logz
+
+
+def _bwd_kernel(a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref, db_ref, de_ref,
+                da_ref, dc_ref, dw_ref, dbias_ref, *, blank: int,
+                T: int, U: int, BT: int, BU: int):
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    ui = pl.program_id(2)
+
+    @pl.when((n == 0) & (ti == 0) & (ui == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(ui == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    @pl.when((ti == 0) & (ui == 0))
+    def _():
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    a = a_ref[0]
+    c = c_ref[0]
+    h = jnp.tanh(a[:, None, :] + c[None, :, :])           # (BT, BU, H) fp32
+    hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+    w = w_ref[:]                                          # (H, V) bf16
+    z = jax.lax.dot_general(
+        hm, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[0][None, :]                                 # logits, with bias
+    V = z.shape[-1]
+    z3 = z.reshape(BT, BU, V)
+
+    # valid-cell mask: block-edge padding rows carry undefined values
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+    valid = (t_iota < T) & (u_iota < U)
+
+    db = jnp.where(valid, db_ref[0], 0.0)
+    de = jnp.where(valid, de_ref[0], 0.0)
+    sm = jnp.exp(z3 - logz_ref[0][..., None])             # softmax (recomputed)
+    lab = lab_ref[0].reshape(1, BU, 1)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
+    # d logits = db*[v==blank] + de*[v==lab] - softmax * (db + de)
+    dz3 = (
+        db[..., None] * (v_iota == blank)
+        + de[..., None] * (v_iota == lab)
+        - sm * (db + de)[..., None]
+    )
+    dz3 = jnp.where(valid[..., None], dz3, 0.0)
+    dz = dz3.reshape(BT * BU, V)
+
+    # d_h = dz @ W^T  (contract over V)
+    dhm = jax.lax.dot_general(
+        dz.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (BT*BU, H)
+    dpre = dhm.reshape(BT, BU, -1) * (1.0 - h * h)        # tanh'
+    da_ref[0] += jnp.sum(dpre, axis=1)
+    dc_ref[0, pl.ds(ui * BU, BU), :] += jnp.sum(dpre, axis=0)
+
+    # d_W += h^T @ dz, d_b += colsum(dz)
+    dw_ref[:] += jax.lax.dot_general(
+        hm, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbias_ref[0] += jnp.sum(dz, axis=0)
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _pad_to(x, dim, size):
+    pad = [(0, 0)] * x.ndim
+    pad[dim] = (0, size - x.shape[dim])
+    return jnp.pad(x, pad) if size != x.shape[dim] else x
+
+
+def joint_lattice_fwd(a, c, w, b, labels_ext, blank: int,
+                      interpret: bool | None = None):
+    """(a, c, W, b) -> (blank_logit, emit_logit, logZ), each (N, T, U) fp32.
+
+    a (N, T, H) fp32, c (N, U, H) fp32, w (H, V), b (V,),
+    labels_ext (N, U) int32 (label of row u, blank on the last row).
+    """
+    if interpret is None:
+        interpret = _interpret()
+    N, T, H = a.shape
+    U = labels_ext.shape[1]
+    V = w.shape[1]
+    BT, BU = _tiles(T, U)
+    TC, UC = _round_up(T, BT), _round_up(U, BU)
+    a_p = _pad_to(a.astype(jnp.float32), 1, TC)
+    c_p = _pad_to(c.astype(jnp.float32), 1, UC)
+    lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)
+    w16 = w.astype(jnp.bfloat16)
+    b32 = b.astype(jnp.float32).reshape(1, V)
+
+    kernel = functools.partial(
+        _fwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
+    )
+    grid = (N, TC // BT, UC // BU)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BT, H), lambda n, t, u: (n, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BU, H), lambda n, t, u: (n, u, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V), lambda n, t, u: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V), lambda n, t, u: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BU), lambda n, t, u: (n, u),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, TC, UC), jnp.float32),
+            jax.ShapeDtypeStruct((N, TC, UC), jnp.float32),
+            jax.ShapeDtypeStruct((N, TC, UC), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * TC * UC * H * V,
+            bytes_accessed=N * TC * UC * 12 + H * V * 2,
+            transcendentals=N * TC * UC * (H + V),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(a_p, c_p, w16, b32, lab_p)
+    bl, el, lz = (o[:, :T, :U] for o in out)
+    return bl, el, lz
+
+
+def joint_lattice_bwd(a, c, w, b, labels_ext, logz, db, de, blank: int,
+                      interpret: bool | None = None):
+    """Backward of the fused joint lattice: returns (d_a, d_c, d_w, d_b)."""
+    if interpret is None:
+        interpret = _interpret()
+    N, T, H = a.shape
+    U = labels_ext.shape[1]
+    V = w.shape[1]
+    BT, BU = _tiles(T, U)
+    TC, UC = _round_up(T, BT), _round_up(U, BU)
+    a_p = _pad_to(a.astype(jnp.float32), 1, TC)
+    c_p = _pad_to(c.astype(jnp.float32), 1, UC)
+    lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)
+    logz_p = _pad_to(_pad_to(logz, 1, TC), 2, UC)
+    db_p = _pad_to(_pad_to(db.astype(jnp.float32), 1, TC), 2, UC)
+    de_p = _pad_to(_pad_to(de.astype(jnp.float32), 1, TC), 2, UC)
+    w16 = w.astype(jnp.bfloat16)
+    b32 = b.astype(jnp.float32).reshape(1, V)
+
+    kernel = functools.partial(
+        _bwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
+    )
+    grid = (N, TC // BT, UC // BU)
+    lat = pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
+                       memory_space=pltpu.VMEM)
+    da, dc, dw, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BT, H), lambda n, t, u: (n, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BU, H), lambda n, t, u: (n, u, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V), lambda n, t, u: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V), lambda n, t, u: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BU), lambda n, t, u: (n, u),
+                         memory_space=pltpu.VMEM),
+            lat, lat, lat,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H), lambda n, t, u: (n, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, UC, H), lambda n, t, u: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V), lambda n, t, u: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V), lambda n, t, u: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, TC, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, UC, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, V), jnp.float32),
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * N * TC * UC * H * V,
+            bytes_accessed=N * TC * UC * 24 + H * V * 6,
+            transcendentals=N * TC * UC * (H + V),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
+    return da[:, :T], dc[:, :U], dw, dbias.reshape(V)
+
+
+def _labels_ext(labels, blank, N):
+    return jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.full((N, 1), blank, jnp.int32)], axis=1
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_joint_core(a, c, w, b, labels, xn, yn, blank=0,
+                     fastemit_lambda=0.0, impl="auto"):
+    """Per-sample RNN-T costs straight from the projected joint halves.
+
+    a (N, T, H), c (N, U, H) fp32; w (H, V), b (V,); labels (N, U-1) int32.
+    Differentiable w.r.t. (a, c, w, b); the (N, T, U, V) logits tensor is
+    never materialized (forward or backward).
+    """
+    from warp_rnnt_tpu.functional.core import _costs_only
+
+    N = a.shape[0]
+    lab = _labels_ext(labels, blank, N)
+    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, blank)
+    return _costs_only(bl - lz, el - lz, xn, yn, impl)
+
+
+def _fj_fwd(a, c, w, b, labels, xn, yn, blank, fastemit_lambda, impl):
+    from warp_rnnt_tpu.functional.core import _forward_backward
+
+    N = a.shape[0]
+    lab = _labels_ext(labels, blank, N)
+    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, blank)
+    costs, g_blank, g_emit, _, _ = _forward_backward(
+        bl - lz, el - lz, xn, yn, fastemit_lambda, impl
+    )
+    return costs, (a, c, w, b, lab, lz, g_blank, g_emit)
+
+
+def _fj_bwd(blank, fastemit_lambda, impl, res, ct):
+    a, c, w, b, lab, lz, g_blank, g_emit = res
+    ctb = ct[:, None, None].astype(jnp.float32)
+    db = ctb * g_blank
+    de = ctb * g_emit
+    da, dc, dw, dbias = joint_lattice_bwd(a, c, w, b, lab, lz, db, de, blank)
+    return (da.astype(a.dtype), dc.astype(c.dtype), dw.astype(w.dtype),
+            dbias.astype(b.dtype), None, None, None)
+
+
+fused_joint_core.defvjp(_fj_fwd, _fj_bwd)
+
+
+def rnnt_loss_fused_joint(
+    f, g, params, labels, frames_lengths, labels_lengths,
+    average_frames: bool = False, reduction=None, blank: int = 0,
+    fastemit_lambda: float = 0.0, impl: str = "auto", mode: str = "add",
+):
+    """End-to-end fused joint + RNN-T loss.
+
+    f (N, T, F) encoder outputs, g (N, U, F') predictor outputs, and the
+    joint parameters: ``params = dict(w_pre, b_pre, w_out, b_out)`` matching
+    the Tanh-MLP joint (`warp_rnnt_tpu.models.joint.Joint`): combine ->
+    dense(H) -> tanh -> dense(V).  "add" mode: w_pre (F, H) applied to both
+    halves; "concat": w_pre (F+F', H) split into row blocks per half.
+
+    The pre-projections run as plain XLA matmuls (O(H^2), negligible); the
+    V-projection + logsumexp + blank/label extraction run inside the Pallas
+    kernel, so the (N, T, U, V) logits tensor never exists.  Beyond-reference
+    capability: the reference requires materialized log-probs
+    (`README.md:59`).
+    """
+    if reduction not in (None, "none", "mean", "sum"):
+        raise ValueError(
+            f"Unknown reduction method: {reduction}, expected to be one of"
+            " ['mean', 'sum', 'none']"
+        )
+    w_pre, b_pre = params["w_pre"], params["b_pre"]
+    w_out, b_out = params["w_out"], params["b_out"]
+    F = f.shape[-1]
+    cd = jnp.bfloat16
+    if mode == "add":
+        wa = wc = w_pre.astype(cd)
+    elif mode == "concat":
+        wa, wc = w_pre[:F].astype(cd), w_pre[F:].astype(cd)
+    else:
+        raise ValueError(f"unknown joint mode: {mode!r}")
+    a = (
+        jnp.dot(f.astype(cd), wa, preferred_element_type=jnp.float32)
+        + b_pre.astype(jnp.float32)
+    )
+    c = jnp.dot(g.astype(cd), wc, preferred_element_type=jnp.float32)
+    xn = jnp.asarray(frames_lengths, jnp.int32)
+    yn = jnp.asarray(labels_lengths, jnp.int32)
+    costs = fused_joint_core(
+        a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl
+    )
+    if average_frames:
+        costs = costs / xn.astype(costs.dtype)
+    if reduction in (None, "none"):
+        return costs
+    return costs.sum() if reduction == "sum" else costs.mean()
