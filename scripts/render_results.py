@@ -101,9 +101,12 @@ def main(in_path="benchmarks_results.json",
             "log_softmax+gather": "padded log_softmax+gather",
             "from_logits": "fused from-logits",
             "compact": "compact (packed joint + packed loss)",
+            "fused": "fused joint+loss kernel (logits never in HBM)",
         }
         for mode, label in labels.items():
-            f_, r_ = by_mode["full"][mode], by_mode["rand"][mode]
+            f_, r_ = by_mode["full"].get(mode), by_mode["rand"].get(mode)
+            if f_ is None or r_ is None:
+                continue
             lines.append(
                 f"| {label} | {f_['step_ms']:.1f} ms / "
                 f"{f_['program_hbm_mb']:.0f} MiB | {r_['step_ms']:.1f} ms / "
@@ -134,6 +137,18 @@ def main(in_path="benchmarks_results.json",
                 f"{dec['beam_ms']:.0f} ms/batch = "
                 f"{dec['beam_utts_per_s']:.0f} utts/s — fully jitted "
                 "batched decoders; the reference ships no decoder at all.",
+            ]
+        sh = e2e.get("sharded_overhead")
+        if sh:
+            c = sh["config"]
+            lines += [
+                f"- GSPMD partitioning overhead (headline config N={c['N']}, "
+                f"T={c['T']}, U={c['U']}, V={c['V']}; `scripts/tpu_check.py`): "
+                f"loss+grad via `rnnt_loss_shard_map` on a 1-device mesh "
+                f"**{sh['shard_map_ms']:.2f} ms** vs unsharded "
+                f"{sh['unsharded_ms']:.2f} ms "
+                f"({sh['overhead_ms']:+.2f} ms) — the partitioned lowering "
+                "itself is free; pod scaling cost is collectives only.",
             ]
         tr = e2e["train_step"]
         tcfg = tr["config"]

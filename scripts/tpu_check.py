@@ -107,7 +107,123 @@ for impl in ("scan", "pallas"):
         cr_ref = np.asarray(cr)
     else:
         np.testing.assert_allclose(np.asarray(cr), cr_ref, rtol=2e-4, atol=1e-4)
-print("TPU restricted parity OK", flush=True)
+# grad path under jit on the chip (scan vs pallas)
+g_res = {}
+for impl in ("scan", "pallas"):
+    g_res[impl] = np.asarray(jax.jit(jax.grad(
+        lambda z, impl=impl: rnnt_loss_restricted(
+            z, jnp.asarray(ys), xn, yn, jnp.asarray(lf),
+            left_context=5, right_context=5, reduction="mean", impl=impl,
+        )
+    ))(jnp.asarray(x)))
+    assert np.isfinite(g_res[impl]).all()
+np.testing.assert_allclose(g_res["pallas"], g_res["scan"], rtol=2e-3, atol=1e-4)
+print("TPU restricted parity OK (incl. jit grads)", flush=True)
+
+# ---- flat (N, T, U*V) public layout on real hardware -----------------------
+N0, T0, U0, V0 = x.shape
+c_fl = rnnt_loss(
+    jnp.asarray(x).reshape(N0, T0, U0 * V0), jnp.asarray(ys), xn, yn,
+    impl="pallas",
+)
+np.testing.assert_allclose(np.asarray(c_fl), np.asarray(c_s), rtol=2e-5, atol=1e-5)
+g_fl = jax.jit(jax.grad(
+    lambda z: rnnt_loss(z, jnp.asarray(ys), xn, yn, reduction="sum",
+                        impl="pallas")
+))(jnp.asarray(x).reshape(N0, T0, U0 * V0))
+np.testing.assert_allclose(
+    np.asarray(g_fl).reshape(N0, T0, U0, V0), np.asarray(g_s),
+    rtol=2e-3, atol=1e-4,
+)
+print("TPU flat-layout API parity OK", flush=True)
+
+# ---- fused joint+loss kernel on real hardware ------------------------------
+from warp_rnnt_tpu.ops.fused_joint import _labels_ext, fused_joint_core
+
+rngf = np.random.RandomState(11)
+fN, fT, fU, fV, fH = 4, 40, 9, 500, 128
+fa = jnp.asarray(rngf.randn(fN, fT, fH).astype(np.float32)) * 0.3
+fc = jnp.asarray(rngf.randn(fN, fU, fH).astype(np.float32)) * 0.3
+fw = jnp.asarray(rngf.randn(fH, fV).astype(np.float32)) * 0.2
+fb = jnp.asarray(rngf.randn(fV).astype(np.float32)) * 0.1
+fys = jnp.asarray(rngf.randint(1, fV, (fN, fU - 1)).astype(np.int32))
+fxn = jnp.asarray(rngf.randint(fU, fT + 1, size=fN).astype(np.int32))
+fyn = jnp.asarray(rngf.randint(1, fU, size=fN).astype(np.int32))
+
+
+def _fj_ref(a, c, w, b):
+    h = jnp.tanh(a[:, :, None, :] + c[:, None, :, :])
+    z = jax.lax.dot_general(
+        h.astype(jnp.bfloat16).reshape(-1, fH), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(fN, fT, fU, fV) + b
+    lab = _labels_ext(fys, 0, fN)
+    lz = jax.nn.logsumexp(z, -1)
+    el = jnp.take_along_axis(
+        z, jnp.broadcast_to(lab[:, None, :, None], (fN, fT, fU, 1)), -1
+    )[..., 0]
+    return rnnt_core(
+        jnp.stack([z[..., 0] - lz, el - lz], -1), fxn, fyn, 0.0, "pallas"
+    ).sum()
+
+
+_fj_fused = lambda a, c, w, b: fused_joint_core(
+    a, c, w, b, fys, fxn, fyn, 0, 0.0, "pallas"
+).sum()
+lr_, gr_ = jax.jit(jax.value_and_grad(_fj_ref, argnums=(0, 1, 2, 3)))(fa, fc, fw, fb)
+lk_, gk_ = jax.jit(jax.value_and_grad(_fj_fused, argnums=(0, 1, 2, 3)))(fa, fc, fw, fb)
+np.testing.assert_allclose(float(lk_), float(lr_), rtol=1e-4)
+for nm, r_, k_ in zip(("da", "dc", "dw", "db"), gr_, gk_):
+    r_, k_ = np.asarray(r_), np.asarray(k_)
+    assert np.isfinite(k_).all(), nm
+    np.testing.assert_allclose(
+        k_, r_, rtol=5e-2, atol=max(2e-2 * np.abs(r_).max(), 1e-5), err_msg=nm
+    )
+print("TPU fused-joint kernel parity OK", flush=True)
+
+# ---- serialized (jax.export) artifact executes the Mosaic kernel -----------
+_exp = jax.export.export(
+    jax.jit(lambda z: rnnt_core(z, xn, yn, 0.0, "platform")), platforms=("tpu",)
+)(jnp.asarray(np.random.RandomState(3).randn(N, T, U, 2).astype(np.float32)))
+assert "tpu_custom_call" in _exp.mlir_module()
+_exp_in = jnp.asarray(np.random.RandomState(3).randn(N, T, U, 2).astype(np.float32))
+np.testing.assert_allclose(
+    np.asarray(_exp.call(_exp_in)),
+    np.asarray(rnnt_core(_exp_in, xn, yn, 0.0, "scan")),
+    rtol=2e-5, atol=1e-5,
+)
+print("TPU exported-artifact (TF graph-op payload) parity OK", flush=True)
+
+# ---- packed movement kernels (compact layout) on real hardware -------------
+from warp_rnnt_tpu.functional.compact import compact_gather, compact_to_padded
+from warp_rnnt_tpu.ops.packed_kernels import _loc_rows, packed_lattice
+
+rngk = np.random.RandomState(13)
+kxn = np.asarray([40, 33, 17, 29], np.int32)
+kyn = np.asarray([11, 7, 0, 11], np.int32)
+kV = 33
+kSTU = int((kxn * (kyn + 1)).sum())
+kxs = jnp.asarray(rngk.randn(kSTU, kV).astype(np.float32))
+kys = jnp.asarray(np.concatenate(
+    [rngk.randint(1, kV, y) for y in kyn if y > 0]).astype(np.int32))
+kxnj, kynj = jnp.asarray(kxn), jnp.asarray(kyn)
+kT, kU = int(kxn.max()), int(kyn.max()) + 1
+k_want = compact_to_padded(
+    compact_gather(kxs, kys, kxnj, kynj, 0)[0], kxnj, kynj, kT, kU
+)
+k_lr = _loc_rows(kys, kxnj, kynj, kU, 0)
+k_got = packed_lattice(kxs, k_lr, kxnj, kynj, 0, kT, kU)
+np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_want), atol=1e-5)
+k_gk = jax.grad(
+    lambda z: (packed_lattice(z, k_lr, kxnj, kynj, 0, kT, kU) ** 2).sum()
+)(kxs)
+k_gr = jax.grad(
+    lambda z: (compact_to_padded(
+        compact_gather(z, kys, kxnj, kynj, 0)[0], kxnj, kynj, kT, kU
+    ) ** 2).sum()
+)(kxs)
+np.testing.assert_allclose(np.asarray(k_gk), np.asarray(k_gr), atol=1e-4)
+print("TPU packed movement-kernel parity OK", flush=True)
 
 # ---- flat3d gather formulation (the >4 GiB path, forced at check size) -----
 from warp_rnnt_tpu.functional import gather as _gather_mod
@@ -159,3 +275,39 @@ for impl in ("scan", "pallas"):
     fwd = jax.jit(lambda x, impl=impl: rnnt_loss(x, ys, xn, yn, reduction="mean", gather=True, impl=impl))
     ms = timeit(fwd, (lp,))
     print(f"FWD-only (beta sweep)   [{impl}]: {ms:.3f} ms", flush=True)
+
+# ---- sharded-vs-unsharded timing on the 1-device mesh (SURVEY §7.5) --------
+# rnnt_loss_shard_map goes through shard_map + psum on a real Mesh even with
+# one chip, so this measures GSPMD partitioning overhead as a number, not an
+# assumption, before anyone runs a pod.
+mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+sm = jax.jit(lambda x: jax.value_and_grad(
+    lambda z: rnnt_loss_shard_map(
+        mesh1, z, ys, xn, yn, reduction="mean", gather=True, impl="pallas"
+    )
+)(x))
+un = jax.jit(lambda x: jax.value_and_grad(
+    lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", gather=True,
+                        impl="pallas")
+)(x))
+ms_sm = timeit(sm, (lp,))
+ms_un = timeit(un, (lp,))
+print(f"sharded loss+grad (shard_map, 1-device mesh): {ms_sm:.3f} ms "
+      f"vs unsharded {ms_un:.3f} ms  (overhead {ms_sm - ms_un:+.3f} ms)",
+      flush=True)
+try:
+    import json as _json
+
+    _p = os.path.join(os.path.dirname(__file__), "..",
+                      "benchmarks_endtoend.json")
+    _e2e = _json.load(open(_p))
+    _e2e["sharded_overhead"] = {
+        "config": {"N": N, "T": T, "U": U, "V": V, "mesh": "1-device data"},
+        "shard_map_ms": round(ms_sm, 3),
+        "unsharded_ms": round(ms_un, 3),
+        "overhead_ms": round(ms_sm - ms_un, 3),
+    }
+    _json.dump(_e2e, open(_p, "w"), indent=1)
+    print("recorded sharded_overhead in benchmarks_endtoend.json", flush=True)
+except FileNotFoundError:
+    pass

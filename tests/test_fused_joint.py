@@ -156,3 +156,34 @@ def test_fused_joint_under_jit():
     )
     eager = fused_joint_core(a, c, w, b, labels, xn, yn, 0, 0.0, "scan")
     np.testing.assert_allclose(np.asarray(f(a, c)), np.asarray(eager), rtol=1e-6)
+
+
+def test_model_train_path_fused_matches_from_logits():
+    """transducer_loss_fn(loss_mode='fused') == 'from_logits' through the
+    full model (encoder + predictor + joint), value and parameter grads."""
+    import jax.tree_util as jtu
+
+    from warp_rnnt_tpu.models.transducer import init_model, transducer_loss_fn
+
+    model, params, batch = init_model(
+        jax.random.PRNGKey(1), vocab_size=23, feat_dim=8, N=2, T=10, U=4,
+        encoder_hidden=16, predictor_hidden=16, joint_hidden=16,
+    )
+    lr, gr = jax.value_and_grad(
+        lambda p: transducer_loss_fn(model, p, batch,
+                                     loss_mode="from_logits")
+    )(params)
+    lk, gk = jax.value_and_grad(
+        lambda p: transducer_loss_fn(model, p, batch, loss_mode="fused")
+    )(params)
+    np.testing.assert_allclose(float(lk), float(lr), rtol=2e-3)
+    flat_r = jtu.tree_leaves_with_path(gr)
+    flat_k = {jtu.keystr(kp): v for kp, v in jtu.tree_leaves_with_path(gk)}
+    for kp, r in flat_r:
+        k = flat_k[jtu.keystr(kp)]
+        r, k = np.asarray(r), np.asarray(k)
+        assert np.isfinite(k).all(), jtu.keystr(kp)
+        np.testing.assert_allclose(
+            k, r, rtol=0.1, atol=max(3e-2 * np.abs(r).max(), 1e-5),
+            err_msg=jtu.keystr(kp),
+        )

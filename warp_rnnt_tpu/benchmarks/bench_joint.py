@@ -90,6 +90,24 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
                 lp, ys_packed, xn, yn, reduction="mean", compact=True,
                 max_frames=T, max_labels=U,
             )
+    elif mode == "fused":
+        # fused joint+loss Pallas kernel: the (N, T, U+1, V) logits tensor
+        # never exists (ops/fused_joint.py) — capability the reference
+        # architecture cannot express (it requires materialized log-probs,
+        # README.md:59)
+        import flax.linen as nn
+
+        from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
+
+        def loss_fn(p, f, g):
+            pp = nn.unbox(p)["params"]
+            fused_params = dict(
+                w_pre=pp["pre"]["kernel"], b_pre=pp["pre"]["bias"],
+                w_out=pp["out"]["kernel"], b_out=pp["out"]["bias"],
+            )
+            return rnnt_loss_fused_joint(
+                f, g, fused_params, ys, xn, yn, reduction="mean"
+            )
     else:
         raise ValueError(mode)
 
@@ -113,7 +131,7 @@ def main():
     kw = dict(zip(("N", "T", "U", "V", "H"), dims))
     rand_length = "--rand-length" in sys.argv
     modes = (mode,) if mode else (
-        "log_softmax+gather", "from_logits", "compact",
+        "log_softmax+gather", "from_logits", "compact", "fused",
     )
     for m in modes:
         print(json.dumps(bench_joint(mode=m, rand_length=rand_length, **kw)),

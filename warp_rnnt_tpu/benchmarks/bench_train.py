@@ -70,7 +70,7 @@ def bench_train(N=32, T=400, U=40, V=1024, feat_dim=80, hidden=512,
 
 def main(*args):
     loss_mode = "from_logits"
-    if args and args[-1] in ("from_logits", "gather"):
+    if args and args[-1] in ("from_logits", "gather", "fused"):
         loss_mode, args = args[-1], args[:-1]
     cfg = [int(a) for a in args] or [32, 400, 40, 1024]
     print(json.dumps(bench_train(*cfg, loss_mode=loss_mode)), flush=True)

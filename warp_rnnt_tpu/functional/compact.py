@@ -44,6 +44,19 @@ import jax.numpy as jnp
 from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
 from warp_rnnt_tpu.functional.gather import gather_blank_label
 
+# Packed-movement backend for the differentiable path: None = auto (Pallas
+# offset-DMA kernels on TPU, XLA composition elsewhere); tests force it.
+_FORCE_KERNEL: Optional[bool] = None
+
+
+def _use_movement_kernel() -> bool:
+    if _FORCE_KERNEL is not None:
+        return _FORCE_KERNEL
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
 
 def _static_bounds(xn, yn, max_frames, max_labels):
     if max_frames is None:
@@ -167,8 +180,21 @@ def rnnt_loss_compact_costs(
         raise ValueError("compact labels must have 1 dimension (sum(yn),)")
     T, max_y = _static_bounds(xn, yn, max_frames, max_labels)
     U = max_y + 1
-    gathered, _ = compact_gather(xs.astype(jnp.float32), ys, xn, yn, blank)
-    padded = compact_to_padded(gathered, xn, yn, T, U)
+    from warp_rnnt_tpu.ops.packed_kernels import movement_kernel_supported
+
+    if _use_movement_kernel() and movement_kernel_supported(T, U, xs.shape[1]):
+        # Pallas offset-DMA movement: one kernel pass per direction instead
+        # of XLA's ~26 GB/s gather/iota-select fusions (8x at T=1500, U=300,
+        # V=50 — see ops/packed_kernels.py and scripts/exp_compact_micro.py)
+        from warp_rnnt_tpu.ops.packed_kernels import _loc_rows, packed_lattice
+
+        loc_rows = _loc_rows(ys, xn, yn, U, blank)
+        padded = packed_lattice(
+            xs.astype(jnp.float32), loc_rows, xn, yn, blank, T, U
+        )
+    else:
+        gathered, _ = compact_gather(xs.astype(jnp.float32), ys, xn, yn, blank)
+        padded = compact_to_padded(gathered, xn, yn, T, U)
     return rnnt_core(padded, xn, yn, fastemit_lambda, impl)
 
 

@@ -132,11 +132,30 @@ def transducer_loss_fn(model: Transducer, params, batch, fastemit_lambda=0.0,
     pass never run, saving three full passes over the largest tensor in the
     step.  'gather' is the classic normalize-then-gather path (numerically
     identical; kept for A/B measurement and parity with the reference
-    recipe, `pytorch_binding/README`).
+    recipe, `pytorch_binding/README`).  'fused' goes further: the joint's
+    V-projection + logsumexp + blank/label extraction run inside one Pallas
+    kernel (`ops/fused_joint.py`) and the (N, T, U, V) logits tensor never
+    exists in HBM at all — capability the reference architecture cannot
+    express (it requires materialized log-probs, `README.md:59`).
     """
-    if loss_mode not in ("from_logits", "gather"):
+    if loss_mode not in ("from_logits", "gather", "fused"):
         raise ValueError(f"unknown loss_mode: {loss_mode!r}")
     feats, labels, xn, yn = batch
+    if loss_mode == "fused":
+        from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
+
+        f = model.apply(params, feats, method=Transducer.encode)
+        g = model.apply(params, labels,
+                        method=lambda m, lbl: m.predictor(lbl))
+        pp = nn.unbox(params)["params"]["joint"]
+        fused_params = dict(
+            w_pre=pp["pre"]["kernel"], b_pre=pp["pre"]["bias"],
+            w_out=pp["out"]["kernel"], b_out=pp["out"]["bias"],
+        )
+        return rnnt_loss_fused_joint(
+            f, g, fused_params, labels, xn, yn, reduction="mean",
+            fastemit_lambda=fastemit_lambda, mode=model.joint_mode,
+        )
     if loss_mode == "from_logits":
         from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
 
