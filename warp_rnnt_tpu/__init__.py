@@ -15,6 +15,7 @@ from warp_rnnt_tpu.functional import (
     rnnt_loss_restricted,
     rnnt_loss_with_internals,
 )
+from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
 
 __version__ = "0.1.0"
 
@@ -24,6 +25,7 @@ __all__ = [
     "rnnt_core_with_internals",
     "rnnt_loss",
     "rnnt_loss_from_logits",
+    "rnnt_loss_fused_joint",
     "rnnt_loss_restricted",
     "rnnt_loss_with_internals",
     "__version__",
