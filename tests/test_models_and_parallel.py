@@ -179,3 +179,26 @@ def test_vocab_sharded_loss_and_grad():
     # the gradient stays at least batch-sharded (GSPMD may choose to
     # replicate or re-shard the vocab axis of the output)
     assert grad.sharding.spec[0] == "data", grad.sharding
+
+
+def test_fused_joint_train_step_sharded_over_mesh():
+    """loss_mode='fused' (Pallas fused joint+loss, interpret mode on CPU)
+    composes with GSPMD data sharding: sharded train step runs, and its
+    loss matches the unsharded fused step exactly."""
+    mesh = make_mesh()
+    model, params, batch = init_model(
+        jax.random.PRNGKey(3), vocab_size=12, feat_dim=16, N=8, T=10, U=4,
+        encoder_hidden=16, predictor_hidden=16, joint_hidden=16,
+    )
+    opt = optax.adamw(1e-3)
+    step = jax.jit(make_train_step(model, opt, loss_mode="fused"))
+    opt_state = opt.init(params)
+    _, _, loss_ref = step(params, opt_state, batch)
+
+    batch_sh = shard_batch(mesh, batch)
+    p, o, loss_sh = step(params, opt.init(params), batch_sh)
+    assert np.isfinite(float(loss_sh))
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    # one more step on the sharded batch keeps optimizing
+    _, _, loss2 = step(p, o, batch_sh)
+    assert float(loss2) < float(loss_sh)
