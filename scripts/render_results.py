@@ -150,6 +150,37 @@ def main(in_path="benchmarks_results.json",
                 f"({sh['overhead_ms']:+.2f} ms) — the partitioned lowering "
                 "itself is free; pod scaling cost is collectives only.",
             ]
+        bc = e2e.get("joint_loss_backward_by_config")
+        if bc:
+            lines += [
+                "- Layout sweep over the reference table shapes (random "
+                "lengths, N=16, H=256; joint+loss+backward step ms):",
+                "",
+                "| T | U | V | padded | from-logits | compact | fused |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for r in bc["rows"]:
+                fused_s = (f"{r['fused_ms']:.2f}"
+                           if r.get("fused_ms") is not None else "—")
+                lines.append(
+                    f"| {r['T']} | {r['U']} | {r['V']} | "
+                    f"{r['padded_ms']:.2f} | {r['from_logits_ms']:.2f} | "
+                    f"{r['compact_ms']:.2f} | {fused_s} |"
+                )
+            lines.append("")
+        lr = e2e.get("large_gather_row")
+        if lr and "loss_grad_ms" in lr:
+            c = lr["config"]
+            hist = ""
+            if lr.get("round2_loss_grad_ms"):
+                hist = (f" (round-2 4D layout: {lr['round2_loss_grad_ms']} ms;"
+                        f" round-1: {lr.get('round1_loss_grad_ms')} ms)")
+            lines += [
+                f"- Largest gather row (N={c['N']}, T={c['T']}, U={c['U']}, "
+                f"V={c['V']}, {lr.get('layout', '4d')} layout): loss+grad "
+                f"**{lr['loss_grad_ms']:.2f} ms**, fwd {lr['fwd_ms']:.2f} ms"
+                + hist + ".",
+            ]
         tr = e2e["train_step"]
         tcfg = tr["config"]
         best = min(tr["rows"], key=lambda r: r["step_ms"])
