@@ -53,9 +53,15 @@ def test_lattice_forward_parity(shape, blank):
     """Kernel blank/emit/logZ == unfused composition, including non-divisible
     T/U (block-edge padding) and nonzero blank."""
     a, c, w, b, labels, xn, yn = _setup(*shape, blank=blank)
-    lab = _labels_ext(labels, blank, a.shape[0])
+    N, T, _ = a.shape
+    U = c.shape[1]
+    lab = _labels_ext(labels, blank, N)
     bl_r, el_r, lz_r = _ref_lattice(a, c, w, b, labels, blank)
-    bl_k, el_k, lz_k = joint_lattice_fwd(a, c, w, b, lab, blank)
+    # full lengths: every tile live, so parity covers the whole lattice
+    full_xn = jnp.full((N,), T, jnp.int32)
+    full_yn = jnp.full((N,), U - 1, jnp.int32)
+    bl_k, el_k, lz_k = joint_lattice_fwd(a, c, w, b, lab, full_xn, full_yn,
+                                         blank)
     np.testing.assert_allclose(np.asarray(bl_k), np.asarray(bl_r), rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(el_k), np.asarray(el_r), rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lz_k), np.asarray(lz_r), rtol=1e-6, atol=1e-5)
@@ -186,4 +192,51 @@ def test_model_train_path_fused_matches_from_logits():
         np.testing.assert_allclose(
             k, r, rtol=0.1, atol=max(3e-2 * np.abs(r).max(), 1e-5),
             err_msg=jtu.keystr(kp),
+        )
+
+
+def test_ragged_tile_skip_exactness():
+    """Very short lengths (most tiles dead): skipped tiles emit zeros, and
+    costs/grads are bit-identical to a run with full-length tile liveness
+    (the loss core only reads cells inside the lengths)."""
+    a, c, w, b, labels, xn, yn = _setup(N=3, T=40, U=9, V=50, H=16, seed=7)
+    N, T, _ = a.shape
+    U = c.shape[1]
+    xn = jnp.asarray(np.array([3, 40, 11], np.int32))
+    yn = jnp.asarray(np.array([1, 8, 0], np.int32))
+    lab = _labels_ext(labels, 0, N)
+
+    bl_s, el_s, lz_s = joint_lattice_fwd(a, c, w, b, lab, xn, yn, 0)
+    full = (jnp.full((N,), T, jnp.int32), jnp.full((N,), U - 1, jnp.int32))
+    bl_f, el_f, lz_f = joint_lattice_fwd(a, c, w, b, lab, *full, 0)
+    # dead tiles (t-tiles fully past xn) come back exactly zero
+    from warp_rnnt_tpu.ops.fused_joint import _tiles
+
+    BT, _ = _tiles(T, U)
+    assert np.all(np.asarray(bl_s)[0, BT:] == 0.0)  # xn=3 < BT -> tiles 1+ dead
+    assert np.all(np.asarray(lz_s)[0, BT:] == 0.0)
+    # live cells agree with the full-liveness run
+    np.testing.assert_array_equal(np.asarray(bl_s)[1], np.asarray(bl_f)[1])
+
+    def loss(a, c, w, b, skip):
+        return fused_joint_core(a, c, w, b, labels, xn, yn, 0, 0.0,
+                                "scan").sum() * skip
+
+    v_s, g_s = jax.value_and_grad(
+        lambda *p: loss(*p, 1.0), argnums=(0, 1, 2, 3))(a, c, w, b)
+    # unfused reference, masked by the same lengths via the core
+    def ref(a, c, w, b):
+        bl, el, lz = _ref_lattice(a, c, w, b, labels, 0)
+        return rnnt_core(
+            jnp.stack([bl - lz, el - lz], -1), xn, yn, 0.0, "scan"
+        ).sum()
+
+    v_r, g_r = jax.value_and_grad(ref, argnums=(0, 1, 2, 3))(a, c, w, b)
+    np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-5)
+    for name, r, k in zip(("da", "dc", "dw", "db"), g_r, g_s):
+        r, k = np.asarray(r), np.asarray(k)
+        assert np.isfinite(k).all(), name
+        np.testing.assert_allclose(
+            k, r, rtol=5e-2, atol=max(2e-2 * np.abs(r).max(), 1e-5),
+            err_msg=name,
         )

@@ -50,31 +50,49 @@ def _tiles(T: int, U: int):
     return BT, BU
 
 
-def _fwd_kernel(a_ref, c_ref, w_ref, b_ref, lab_ref,
+def _fwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
                 blank_ref, emit_ref, logz_ref, *, blank: int,
                 T: int, U: int, BT: int, BU: int):
-    a = a_ref[0]            # (BT, H) fp32
-    c = c_ref[0]            # (BU, H) fp32
-    h = jnp.tanh(a[:, None, :] + c[None, :, :])          # (BT, BU, H)
-    hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
-    w = w_ref[:]                                          # (H, V) bf16
-    z = jax.lax.dot_general(
-        hm, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[0][None, :]                                 # (BT*BU, V) fp32
-    V = z.shape[-1]
-    z3 = z.reshape(BT, BU, V)
-    m = jnp.max(z3, axis=-1)
-    logz = m + jnp.log(jnp.sum(jnp.exp(z3 - m[..., None]), axis=-1))
-    lab = lab_ref[0].reshape(1, BU, 1)                    # (1, BU, 1) int32
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
-    emit = jnp.sum(jnp.where(v_iota == lab, z3, 0.0), axis=-1)
-    blank_ref[0] = z3[:, :, blank]
-    emit_ref[0] = emit
-    logz_ref[0] = logz
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    ui = pl.program_id(2)
+    # Ragged-length tile skip: a tile with no (t < xn, u <= yn) cell does no
+    # MXU work (at typical random lengths ~45% of tiles are dead).  The
+    # outputs still get defined values (zeros) — rnnt_core masks cells
+    # beyond the lengths, but NaN-from-uninitialized would poison masking.
+    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+
+    @pl.when(live)
+    def _():
+        a = a_ref[0]            # (BT, H) fp32
+        c = c_ref[0]            # (BU, H) fp32
+        h = jnp.tanh(a[:, None, :] + c[None, :, :])          # (BT, BU, H)
+        hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+        w = w_ref[:]                                          # (H, V) bf16
+        z = jax.lax.dot_general(
+            hm, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0][None, :]                                 # (BT*BU, V) fp32
+        V = z.shape[-1]
+        z3 = z.reshape(BT, BU, V)
+        m = jnp.max(z3, axis=-1)
+        logz = m + jnp.log(jnp.sum(jnp.exp(z3 - m[..., None]), axis=-1))
+        lab = lab_ref[0].reshape(1, BU, 1)                    # (1, BU, 1) int32
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
+        emit = jnp.sum(jnp.where(v_iota == lab, z3, 0.0), axis=-1)
+        blank_ref[0] = z3[:, :, blank]
+        emit_ref[0] = emit
+        logz_ref[0] = logz
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        blank_ref[0] = jnp.zeros_like(blank_ref[0])
+        emit_ref[0] = jnp.zeros_like(emit_ref[0])
+        logz_ref[0] = jnp.zeros_like(logz_ref[0])
 
 
-def _bwd_kernel(a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref, db_ref, de_ref,
+def _bwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref,
+                db_ref, de_ref,
                 da_ref, dc_ref, dw_ref, dbias_ref, *, blank: int,
                 T: int, U: int, BT: int, BU: int):
     n = pl.program_id(0)
@@ -94,52 +112,59 @@ def _bwd_kernel(a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref, db_ref, de_ref,
     def _():
         dc_ref[:] = jnp.zeros_like(dc_ref)
 
-    a = a_ref[0]
-    c = c_ref[0]
-    h = jnp.tanh(a[:, None, :] + c[None, :, :])           # (BT, BU, H) fp32
-    hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
-    w = w_ref[:]                                          # (H, V) bf16
-    z = jax.lax.dot_general(
-        hm, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[0][None, :]                                 # logits, with bias
-    V = z.shape[-1]
-    z3 = z.reshape(BT, BU, V)
+    # Ragged-length tile skip (see _fwd_kernel): dead tiles have all-zero
+    # db/de cotangents (rnnt_core's grads are zero beyond the lengths), so
+    # skipping contributes exactly nothing to any accumulator.
+    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
 
-    # valid-cell mask: block-edge padding rows carry undefined values
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
-    valid = (t_iota < T) & (u_iota < U)
+    @pl.when(live)
+    def _():
+        a = a_ref[0]
+        c = c_ref[0]
+        h = jnp.tanh(a[:, None, :] + c[None, :, :])           # (BT, BU, H) fp32
+        hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+        w = w_ref[:]                                          # (H, V) bf16
+        z = jax.lax.dot_general(
+            hm, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0][None, :]                                 # logits, with bias
+        V = z.shape[-1]
+        z3 = z.reshape(BT, BU, V)
 
-    db = jnp.where(valid, db_ref[0], 0.0)
-    de = jnp.where(valid, de_ref[0], 0.0)
-    sm = jnp.exp(z3 - logz_ref[0][..., None])             # softmax (recomputed)
-    lab = lab_ref[0].reshape(1, BU, 1)
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
-    # d logits = db*[v==blank] + de*[v==lab] - softmax * (db + de)
-    dz3 = (
-        db[..., None] * (v_iota == blank)
-        + de[..., None] * (v_iota == lab)
-        - sm * (db + de)[..., None]
-    )
-    dz3 = jnp.where(valid[..., None], dz3, 0.0)
-    dz = dz3.reshape(BT * BU, V)
+        # valid-cell mask: block-edge padding rows carry undefined values
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+        valid = (t_iota < T) & (u_iota < U)
 
-    # d_h = dz @ W^T  (contract over V)
-    dhm = jax.lax.dot_general(
-        dz.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                     # (BT*BU, H)
-    dpre = dhm.reshape(BT, BU, -1) * (1.0 - h * h)        # tanh'
-    da_ref[0] += jnp.sum(dpre, axis=1)
-    dc_ref[0, pl.ds(ui * BU, BU), :] += jnp.sum(dpre, axis=0)
+        db = jnp.where(valid, db_ref[0], 0.0)
+        de = jnp.where(valid, de_ref[0], 0.0)
+        sm = jnp.exp(z3 - logz_ref[0][..., None])             # softmax (recomputed)
+        lab = lab_ref[0].reshape(1, BU, 1)
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
+        # d logits = db*[v==blank] + de*[v==lab] - softmax * (db + de)
+        dz3 = (
+            db[..., None] * (v_iota == blank)
+            + de[..., None] * (v_iota == lab)
+            - sm * (db + de)[..., None]
+        )
+        dz3 = jnp.where(valid[..., None], dz3, 0.0)
+        dz = dz3.reshape(BT * BU, V)
 
-    # d_W += h^T @ dz, d_b += colsum(dz)
-    dw_ref[:] += jax.lax.dot_general(
-        hm, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dbias_ref[0] += jnp.sum(dz, axis=0)
+        # d_h = dz @ W^T  (contract over V)
+        dhm = jax.lax.dot_general(
+            dz.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # (BT*BU, H)
+        dpre = dhm.reshape(BT, BU, -1) * (1.0 - h * h)        # tanh'
+        da_ref[0] += jnp.sum(dpre, axis=1)
+        dc_ref[0, pl.ds(ui * BU, BU), :] += jnp.sum(dpre, axis=0)
+
+        # d_W += h^T @ dz, d_b += colsum(dz)
+        dw_ref[:] += jax.lax.dot_general(
+            hm, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbias_ref[0] += jnp.sum(dz, axis=0)
 
 
 def _interpret():
@@ -152,12 +177,15 @@ def _pad_to(x, dim, size):
     return jnp.pad(x, pad) if size != x.shape[dim] else x
 
 
-def joint_lattice_fwd(a, c, w, b, labels_ext, blank: int,
+def joint_lattice_fwd(a, c, w, b, labels_ext, xn, yn, blank: int,
                       interpret: bool | None = None):
     """(a, c, W, b) -> (blank_logit, emit_logit, logZ), each (N, T, U) fp32.
 
     a (N, T, H) fp32, c (N, U, H) fp32, w (H, V), b (V,),
     labels_ext (N, U) int32 (label of row u, blank on the last row).
+    xn/yn (N,) int32 lengths drive the ragged tile skip: tiles with no
+    (t < xn, u <= yn) cell do no MXU work and emit zeros (the loss core
+    masks those cells anyway).
     """
     if interpret is None:
         interpret = _interpret()
@@ -176,29 +204,28 @@ def joint_lattice_fwd(a, c, w, b, labels_ext, blank: int,
         _fwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
     )
     grid = (N, TC // BT, UC // BU)
-    out = pl.pallas_call(
-        kernel,
+    lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BT, H), lambda n, t, u: (n, t, 0),
+            pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU, H), lambda n, t, u: (n, u, 0),
+            pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda n, t, u: (0, 0),
+            pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda n, t, u: (0, 0),
+            pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU), lambda n, t, u: (n, u),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
+            pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[lat_out, lat_out, lat_out],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N, TC, UC), jnp.float32),
             jax.ShapeDtypeStruct((N, TC, UC), jnp.float32),
@@ -211,12 +238,12 @@ def joint_lattice_fwd(a, c, w, b, labels_ext, blank: int,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(a_p, c_p, w16, b32, lab_p)
+    )(xn.astype(jnp.int32), yn.astype(jnp.int32), a_p, c_p, w16, b32, lab_p)
     bl, el, lz = (o[:, :T, :U] for o in out)
     return bl, el, lz
 
 
-def joint_lattice_bwd(a, c, w, b, labels_ext, logz, db, de, blank: int,
+def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
                       interpret: bool | None = None):
     """Backward of the fused joint lattice: returns (d_a, d_c, d_w, d_b)."""
     if interpret is None:
@@ -239,34 +266,38 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, logz, db, de, blank: int,
         _bwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
     )
     grid = (N, TC // BT, UC // BU)
-    lat = pl.BlockSpec((1, BT, BU), lambda n, t, u: (n, t, u),
+    lat = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
                        memory_space=pltpu.VMEM)
-    da, dc, dw, dbias = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BT, H), lambda n, t, u: (n, t, 0),
+            pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU, H), lambda n, t, u: (n, u, 0),
+            pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda n, t, u: (0, 0),
+            pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda n, t, u: (0, 0),
+            pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU), lambda n, t, u: (n, u),
+            pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
                          memory_space=pltpu.VMEM),
             lat, lat, lat,
         ],
         out_specs=[
-            pl.BlockSpec((1, BT, H), lambda n, t, u: (n, t, 0),
+            pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, UC, H), lambda n, t, u: (n, 0, 0),
+            pl.BlockSpec((1, UC, H), lambda n, t, u, *_: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda n, t, u: (0, 0),
+            pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda n, t, u: (0, 0),
+            pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    da, dc, dw, dbias = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N, TC, H), jnp.float32),
             jax.ShapeDtypeStruct((N, UC, H), jnp.float32),
@@ -280,7 +311,8 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, logz, db, de, blank: int,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
+    )(xn.astype(jnp.int32), yn.astype(jnp.int32),
+      a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
     return da[:, :T], dc[:, :U], dw, dbias.reshape(V)
 
 
@@ -303,7 +335,7 @@ def fused_joint_core(a, c, w, b, labels, xn, yn, blank=0,
 
     N = a.shape[0]
     lab = _labels_ext(labels, blank, N)
-    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, blank)
+    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, xn, yn, blank)
     return _costs_only(bl - lz, el - lz, xn, yn, impl)
 
 
@@ -312,19 +344,21 @@ def _fj_fwd(a, c, w, b, labels, xn, yn, blank, fastemit_lambda, impl):
 
     N = a.shape[0]
     lab = _labels_ext(labels, blank, N)
-    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, blank)
+    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, xn, yn, blank)
     costs, g_blank, g_emit, _, _ = _forward_backward(
         bl - lz, el - lz, xn, yn, fastemit_lambda, impl
     )
-    return costs, (a, c, w, b, lab, lz, g_blank, g_emit)
+    return costs, (a, c, w, b, lab, xn, yn, lz, g_blank, g_emit)
 
 
 def _fj_bwd(blank, fastemit_lambda, impl, res, ct):
-    a, c, w, b, lab, lz, g_blank, g_emit = res
+    a, c, w, b, lab, xn, yn, lz, g_blank, g_emit = res
     ctb = ct[:, None, None].astype(jnp.float32)
     db = ctb * g_blank
     de = ctb * g_emit
-    da, dc, dw, dbias = joint_lattice_bwd(a, c, w, b, lab, lz, db, de, blank)
+    da, dc, dw, dbias = joint_lattice_bwd(
+        a, c, w, b, lab, xn, yn, lz, db, de, blank
+    )
     return (da.astype(a.dtype), dc.astype(c.dtype), dw.astype(w.dtype),
             dbias.astype(b.dtype), None, None, None)
 
