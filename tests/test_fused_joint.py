@@ -240,3 +240,43 @@ def test_ragged_tile_skip_exactness():
             k, r, rtol=5e-2, atol=max(2e-2 * np.abs(r).max(), 1e-5),
             err_msg=name,
         )
+
+
+def test_vmem_oversize_fallback_matches_kernel(monkeypatch):
+    """When the vocabulary exceeds the kernel's VMEM working set,
+    rnnt_loss_fused_joint falls back to the unfused from-logits path with
+    the same results."""
+    import warp_rnnt_tpu.ops.fused_joint as fj
+
+    rng = np.random.RandomState(5)
+    N, T, U, V, H = 2, 9, 4, 40, 16
+    f = jnp.asarray(rng.randn(N, T, H).astype(np.float32)) * 0.3
+    g = jnp.asarray(rng.randn(N, U, H).astype(np.float32)) * 0.3
+    params = dict(
+        w_pre=jnp.asarray(rng.randn(H, H).astype(np.float32)) * 0.2,
+        b_pre=jnp.zeros(H), b_out=jnp.zeros(V),
+        w_out=jnp.asarray(rng.randn(H, V).astype(np.float32)) * 0.2,
+    )
+    labels = jnp.asarray(rng.randint(1, V, (N, U - 1)).astype(np.int32))
+    xn = jnp.array([9, 6], jnp.int32)
+    yn = jnp.array([3, 2], jnp.int32)
+
+    args = (f, g, params, labels, xn, yn)
+    lk, gk = jax.value_and_grad(
+        lambda f: rnnt_loss_fused_joint(f, *args[1:], reduction="mean",
+                                        impl="scan")
+    )(f)
+    assert fj.fused_joint_supported(T, U, H, V)  # kernel path above
+    monkeypatch.setattr(fj, "fused_joint_supported", lambda *a: False)
+    lf, gf = jax.value_and_grad(
+        lambda f: rnnt_loss_fused_joint(f, *args[1:], reduction="mean",
+                                        impl="scan")
+    )(f)
+    np.testing.assert_allclose(float(lf), float(lk), rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gk), rtol=0.1,
+        atol=2e-2 * float(np.abs(np.asarray(gk)).max()),
+    )
+    monkeypatch.undo()
+    # sanity: an LLM-scale vocab really is routed to the fallback
+    assert not fj.fused_joint_supported(150, 21, 256, 64000)

@@ -171,6 +171,20 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def fused_joint_supported(T: int, U: int, H: int, V: int) -> bool:
+    """Whether the single-V-block kernel's VMEM working set fits.
+
+    The kernel keeps w (H, Vp) bf16, dw (H, Vp) fp32 (backward) and ~6
+    (BT*BU, Vp) fp32 logits-class buffers resident (z, dz, softmax, and
+    Mosaic double-buffering slack).  Beyond this — LLM-size vocabularies —
+    `rnnt_loss_fused_joint` falls back to the unfused from-logits path
+    (a V-grid-blocked kernel with running logsumexp is the upgrade path)."""
+    BT, BU = _tiles(T, U)
+    Vp = _round_up(V, 128)
+    need = H * Vp * 2 + H * Vp * 4 + 6 * BT * BU * Vp * 4
+    return need <= int(_VMEM_LIMIT * 0.6)
+
+
 def _pad_to(x, dim, size):
     pad = [(0, 0)] * x.ndim
     pad[dim] = (0, size - x.shape[dim])
@@ -407,9 +421,27 @@ def rnnt_loss_fused_joint(
     c = jnp.dot(g.astype(cd), wc, preferred_element_type=jnp.float32)
     xn = jnp.asarray(frames_lengths, jnp.int32)
     yn = jnp.asarray(labels_lengths, jnp.int32)
-    costs = fused_joint_core(
-        a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl
-    )
+    N, T, H = a.shape
+    U = c.shape[1]
+    V = w_out.shape[1]
+    if fused_joint_supported(T, U, H, V):
+        costs = fused_joint_core(
+            a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl
+        )
+    else:
+        # VMEM-oversized (LLM-scale) vocabulary: materialize logits and use
+        # the fused-softmax loss — still never materializes log-probs
+        from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+
+        h = jnp.tanh(a[:, :, None, :] + c[:, None, :, :])
+        logits = jax.lax.dot_general(
+            h.astype(cd).reshape(-1, H), w_out.astype(cd),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(N, T, U, V) + b_out.astype(jnp.float32)
+        costs = rnnt_loss_from_logits(
+            logits, labels, xn, yn, reduction="none", blank=blank,
+            fastemit_lambda=fastemit_lambda, impl=impl,
+        )
     if average_frames:
         costs = costs / xn.astype(costs.dtype)
     if reduction in (None, "none"):
