@@ -83,8 +83,8 @@ def beam_decode(model, params, feats, xn, max_length: int,
         frame_on = (t < xn)[:, None]  # (N, 1)
         f_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)  # (N, 1, H)
 
-        for step in range(max_symbols_per_step + 1):
-            forced = step == max_symbols_per_step
+        def one_step(scores, tokens, u, waiting, pred_state, pred_out,
+                     forced: bool):
             logp = bound.joint_step(
                 jnp.broadcast_to(f_t, (N, B, H)).reshape(N * B, H),
                 pred_out.reshape(N * B, -1),
@@ -166,6 +166,30 @@ def beam_decode(model, params, feats, xn, max_length: int,
             beats = (s_i > s_j) | ((s_i == s_j) & (i_iota < j_iota))
             killed = jnp.any(same & beats & (i_iota != j_iota), axis=1)
             scores = jnp.where(killed, NEG, scores)
+            return scores, tokens, u, waiting, pred_state, pred_out
+
+        # Early-exit expansion: a step where NO beam is expandable only
+        # settles/self-selects (provably a no-op followed by the forced
+        # settle), so loop while any beam can still emit — on typical ASR
+        # (~0.1 symbols/frame) this runs ~1-2 joint evaluations per frame
+        # instead of always max_symbols_per_step, halving the decoder's
+        # sequential op count.
+        def expand_cond(carry):
+            step, _, _, u_, waiting_, _, _ = carry
+            expandable = frame_on & ~waiting_ & (u_ < L)
+            return (step < max_symbols_per_step) & jnp.any(expandable)
+
+        def expand_body(carry):
+            step = carry[0]
+            return (step + 1,) + one_step(*carry[1:], forced=False)
+
+        carry = (jnp.int32(0), scores, tokens, u, waiting, pred_state,
+                 pred_out)
+        carry = jax.lax.while_loop(expand_cond, expand_body, carry)
+        # forced settle: remaining active beams take their blank transition
+        scores, tokens, u, waiting, pred_state, pred_out = one_step(
+            *carry[1:], forced=True
+        )
 
         waiting = jnp.zeros_like(waiting)  # next frame: all beams active
         return scores, tokens, u, waiting, pred_state, pred_out
