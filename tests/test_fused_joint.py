@@ -242,41 +242,36 @@ def test_ragged_tile_skip_exactness():
         )
 
 
-def test_vmem_oversize_fallback_matches_kernel(monkeypatch):
-    """When the vocabulary exceeds the kernel's VMEM working set,
-    rnnt_loss_fused_joint falls back to the unfused from-logits path with
-    the same results."""
+def test_vblocked_kernels_match_single_block(monkeypatch):
+    """LLM-scale vocabularies route to the V-grid-blocked kernels (running
+    logsumexp forward; split da/dc + dw/db backward).  Forcing a tiny
+    V-block (BV=128 over V=300 -> 3 blocks, with a padded tail block) must
+    reproduce the single-block kernel's loss and all four gradients."""
     import warp_rnnt_tpu.ops.fused_joint as fj
 
-    rng = np.random.RandomState(5)
-    N, T, U, V, H = 2, 9, 4, 40, 16
-    f = jnp.asarray(rng.randn(N, T, H).astype(np.float32)) * 0.3
-    g = jnp.asarray(rng.randn(N, U, H).astype(np.float32)) * 0.3
-    params = dict(
-        w_pre=jnp.asarray(rng.randn(H, H).astype(np.float32)) * 0.2,
-        b_pre=jnp.zeros(H), b_out=jnp.zeros(V),
-        w_out=jnp.asarray(rng.randn(H, V).astype(np.float32)) * 0.2,
-    )
-    labels = jnp.asarray(rng.randint(1, V, (N, U - 1)).astype(np.int32))
-    xn = jnp.array([9, 6], jnp.int32)
-    yn = jnp.array([3, 2], jnp.int32)
+    a, c, w, b, labels, xn, yn = _setup(N=2, T=11, U=5, V=300, H=16, seed=9)
 
-    args = (f, g, params, labels, xn, yn)
-    lk, gk = jax.value_and_grad(
-        lambda f: rnnt_loss_fused_joint(f, *args[1:], reduction="mean",
-                                        impl="scan")
-    )(f)
-    assert fj.fused_joint_supported(T, U, H, V)  # kernel path above
-    monkeypatch.setattr(fj, "fused_joint_supported", lambda *a: False)
-    lf, gf = jax.value_and_grad(
-        lambda f: rnnt_loss_fused_joint(f, *args[1:], reduction="mean",
-                                        impl="scan")
-    )(f)
-    np.testing.assert_allclose(float(lf), float(lk), rtol=2e-3)
-    np.testing.assert_allclose(
-        np.asarray(gf), np.asarray(gk), rtol=0.1,
-        atol=2e-2 * float(np.abs(np.asarray(gk)).max()),
-    )
-    monkeypatch.undo()
-    # sanity: an LLM-scale vocab really is routed to the fallback
-    assert not fj.fused_joint_supported(150, 21, 256, 64000)
+    def vg(a, c, w, b):
+        return jax.value_and_grad(
+            lambda a, c, w, b: fused_joint_core(
+                a, c, w, b, labels, xn, yn, 0, 0.0, "scan"
+            ).sum(),
+            argnums=(0, 1, 2, 3),
+        )(a, c, w, b)
+
+    assert fj._select_bv(11, 5, 16, 300) is None  # single-block by default
+    l1, g1 = vg(a, c, w, b)
+    monkeypatch.setattr(fj, "_FORCE_BV", 128)
+    assert fj._select_bv(11, 5, 16, 300) == 128
+    l2, g2 = vg(a, c, w, b)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for name, r, k in zip(("da", "dc", "dw", "db"), g1, g2):
+        r, k = np.asarray(r), np.asarray(k)
+        assert np.isfinite(k).all(), name
+        np.testing.assert_allclose(
+            k, r, rtol=5e-3, atol=max(1e-3 * np.abs(r).max(), 1e-6),
+            err_msg=name,
+        )
+    # sanity: an LLM-scale vocab really is routed to the blocked kernels
+    monkeypatch.setattr(fj, "_FORCE_BV", None)
+    assert fj._select_bv(150, 21, 256, 64000) == fj._DEFAULT_BV

@@ -171,24 +171,220 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+# Test hook: force a specific V-block size (None = auto).
+_FORCE_BV = None
+
+_DEFAULT_BV = 2048
+
+
 def fused_joint_supported(T: int, U: int, H: int, V: int) -> bool:
-    """Whether the single-V-block kernel's VMEM working set fits.
+    """Whether the SINGLE-V-block kernel's VMEM working set fits.
 
     The kernel keeps w (H, Vp) bf16, dw (H, Vp) fp32 (backward) and ~6
-    (BT*BU, Vp) fp32 logits-class buffers resident (z, dz, softmax, and
-    Mosaic double-buffering slack).  Beyond this — LLM-size vocabularies —
-    `rnnt_loss_fused_joint` falls back to the unfused from-logits path
-    (a V-grid-blocked kernel with running logsumexp is the upgrade path)."""
+    (BT*BU, Vp) fp32 logits-class buffers resident.  Beyond this — LLM-size
+    vocabularies — the V-grid-blocked kernels take over (running logsumexp
+    across V-blocks; backward split into da/dc and dw/db passes)."""
     BT, BU = _tiles(T, U)
     Vp = _round_up(V, 128)
     need = H * Vp * 2 + H * Vp * 4 + 6 * BT * BU * Vp * 4
     return need <= int(_VMEM_LIMIT * 0.6)
 
 
+def _select_bv(T: int, U: int, H: int, V: int):
+    """None -> single-block kernels; else the V-block size for the blocked
+    kernels (vocab padded to a multiple of it with -inf logits)."""
+    if _FORCE_BV is not None:
+        return None if _FORCE_BV >= V else _FORCE_BV
+    return None if fused_joint_supported(T, U, H, V) else _DEFAULT_BV
+
+
+def _pad_vocab(w, b, BV: int):
+    """Pad (H, V) weights with zero columns and the bias with -1e30 so the
+    padded logits are ~-inf: exp() -> 0 in the running logsumexp, the
+    compare-masks never select them (global v >= V), and the backward's
+    softmax is exactly 0 there."""
+    V = w.shape[1]
+    Vp = _round_up(V, BV)
+    if Vp == V:
+        return w, b, Vp
+    w_p = jnp.pad(w, ((0, 0), (0, Vp - V)))
+    b_p = jnp.pad(b, (0, Vp - V), constant_values=-1.0e30)
+    return w_p, b_p, Vp
+
+
 def _pad_to(x, dim, size):
     pad = [(0, 0)] * x.ndim
     pad[dim] = (0, size - x.shape[dim])
     return jnp.pad(x, pad) if size != x.shape[dim] else x
+
+
+def _fwd_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
+                   blank_ref, emit_ref, logz_ref, m_sc, s_sc, bl_sc, em_sc,
+                   *, blank: int, T: int, U: int, BT: int, BU: int, BV: int,
+                   VV: int):
+    """V-blocked forward: running (max, sum) logsumexp across the vi grid
+    dim (fastest-iterating), blank/emit accumulated by global-index
+    compare-mask; outputs written on the last V-block."""
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    ui = pl.program_id(2)
+    vi = pl.program_id(3)
+    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+
+    @pl.when(vi == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, -1.0e30)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        bl_sc[:] = jnp.zeros_like(bl_sc)
+        em_sc[:] = jnp.zeros_like(em_sc)
+
+    @pl.when(live)
+    def _():
+        a = a_ref[0]
+        c = c_ref[0]
+        h = jnp.tanh(a[:, None, :] + c[None, :, :])
+        hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            hm, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0][None, :]
+        z3 = z.reshape(BT, BU, BV)
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, BV), 2) + vi * BV
+        lab = lab_ref[0].reshape(1, BU, 1)
+        bl_sc[:] += jnp.sum(jnp.where(v_iota == blank, z3, 0.0), axis=-1)
+        em_sc[:] += jnp.sum(jnp.where(v_iota == lab, z3, 0.0), axis=-1)
+        bm = jnp.max(z3, axis=-1)
+        m_new = jnp.maximum(m_sc[:], bm)
+        s_sc[:] = s_sc[:] * jnp.exp(m_sc[:] - m_new) + jnp.sum(
+            jnp.exp(z3 - m_new[..., None]), axis=-1
+        )
+        m_sc[:] = m_new
+
+    @pl.when(vi == VV - 1)
+    def _():
+        on = jnp.broadcast_to(live, (BT, BU))
+        blank_ref[0] = jnp.where(on, bl_sc[:], 0.0)
+        emit_ref[0] = jnp.where(on, em_sc[:], 0.0)
+        logz_ref[0] = jnp.where(on, m_sc[:] + jnp.log(s_sc[:]), 0.0)
+
+
+def _bwd_dadc_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
+                        logz_ref, db_ref, de_ref, da_ref, dc_ref, dhm_sc,
+                        *, blank: int, T: int, U: int, BT: int, BU: int,
+                        BV: int, VV: int):
+    """V-blocked backward, input half: d_h accumulated across V-blocks in
+    VMEM scratch, folded into d_a / d_c on the last block."""
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    ui = pl.program_id(2)
+    vi = pl.program_id(3)
+
+    @pl.when((ui == 0) & (vi == 0))
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    @pl.when((ti == 0) & (ui == 0) & (vi == 0))
+    def _():
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+
+    @pl.when(vi == 0)
+    def _():
+        dhm_sc[:] = jnp.zeros_like(dhm_sc)
+
+    @pl.when(live)
+    def _():
+        a = a_ref[0]
+        c = c_ref[0]
+        h = jnp.tanh(a[:, None, :] + c[None, :, :])
+        hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+        w = w_ref[:]
+        z = jax.lax.dot_general(
+            hm, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0][None, :]
+        z3 = z.reshape(BT, BU, BV)
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+        valid = (t_iota < T) & (u_iota < U)
+        db = jnp.where(valid, db_ref[0], 0.0)
+        de = jnp.where(valid, de_ref[0], 0.0)
+        sm = jnp.exp(z3 - logz_ref[0][..., None])
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, BV), 2) + vi * BV
+        lab = lab_ref[0].reshape(1, BU, 1)
+        dz3 = (
+            db[..., None] * (v_iota == blank)
+            + de[..., None] * (v_iota == lab)
+            - sm * (db + de)[..., None]
+        )
+        dz3 = jnp.where(valid[..., None], dz3, 0.0)
+        dz = dz3.reshape(BT * BU, BV)
+        dhm_sc[:] += jax.lax.dot_general(
+            dz.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when((vi == VV - 1) & live)
+    def _():
+        a = a_ref[0]
+        c = c_ref[0]
+        h = jnp.tanh(a[:, None, :] + c[None, :, :])
+        dpre = dhm_sc[:].reshape(BT, BU, -1) * (1.0 - h * h)
+        da_ref[0] += jnp.sum(dpre, axis=1)
+        dc_ref[0, pl.ds(ui * BU, BU), :] += jnp.sum(dpre, axis=0)
+
+
+def _bwd_dwdb_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
+                        logz_ref, db_ref, de_ref, dw_ref, dbias_ref,
+                        *, blank: int, T: int, U: int, BT: int, BU: int,
+                        BV: int, VV: int):
+    """V-blocked backward, weight half: grid is (VV, N, TT, UU) so each
+    (H, BV) d_W block stays VMEM-resident across the whole lattice and is
+    flushed exactly once — no revisit-after-flush hazard."""
+    vi = pl.program_id(0)
+    n = pl.program_id(1)
+    ti = pl.program_id(2)
+    ui = pl.program_id(3)
+
+    @pl.when((n == 0) & (ti == 0) & (ui == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+
+    @pl.when(live)
+    def _():
+        a = a_ref[0]
+        c = c_ref[0]
+        h = jnp.tanh(a[:, None, :] + c[None, :, :])
+        hm = h.reshape(BT * BU, -1).astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            hm, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0][None, :]
+        z3 = z.reshape(BT, BU, BV)
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+        valid = (t_iota < T) & (u_iota < U)
+        db = jnp.where(valid, db_ref[0], 0.0)
+        de = jnp.where(valid, de_ref[0], 0.0)
+        sm = jnp.exp(z3 - logz_ref[0][..., None])
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, BV), 2) + vi * BV
+        lab = lab_ref[0].reshape(1, BU, 1)
+        dz3 = (
+            db[..., None] * (v_iota == blank)
+            + de[..., None] * (v_iota == lab)
+            - sm * (db + de)[..., None]
+        )
+        dz3 = jnp.where(valid[..., None], dz3, 0.0)
+        dz = dz3.reshape(BT * BU, BV)
+        dw_ref[:] += jax.lax.dot_general(
+            hm, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbias_ref[0] += jnp.sum(dz, axis=0)
 
 
 def joint_lattice_fwd(a, c, w, b, labels_ext, xn, yn, blank: int,
@@ -211,32 +407,70 @@ def joint_lattice_fwd(a, c, w, b, labels_ext, xn, yn, blank: int,
     a_p = _pad_to(a.astype(jnp.float32), 1, TC)
     c_p = _pad_to(c.astype(jnp.float32), 1, UC)
     lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)
-    w16 = w.astype(jnp.bfloat16)
-    b32 = b.astype(jnp.float32).reshape(1, V)
-
-    kernel = functools.partial(
-        _fwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
-    )
-    grid = (N, TC // BT, UC // BU)
+    BV = _select_bv(T, U, H, V)
     lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[lat_out, lat_out, lat_out],
-    )
+    common_in = [
+        pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    lab_in = pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
+                          memory_space=pltpu.VMEM)
+    if BV is None:
+        kernel = functools.partial(
+            _fwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
+        )
+        grid = (N, TC // BT, UC // BU)
+        w16 = w.astype(jnp.bfloat16)
+        b32 = b.astype(jnp.float32).reshape(1, V)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=common_in + [
+                pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                lab_in,
+            ],
+            out_specs=[lat_out, lat_out, lat_out],
+        )
+    else:
+        w_p, b_p, Vp = _pad_vocab(w, b, BV)
+        VV = Vp // BV
+        kernel = functools.partial(
+            _fwd_kernel_vb, blank=blank, T=T, U=U, BT=BT, BU=BU, BV=BV, VV=VV
+        )
+        grid = (N, TC // BT, UC // BU, VV)
+        w16 = w_p.astype(jnp.bfloat16)
+        b32 = b_p.astype(jnp.float32).reshape(1, Vp)
+        lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, u, v, *_: (n, t, u),
+                               memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BT, H), lambda n, t, u, v, *_: (n, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BU, H), lambda n, t, u, v, *_: (n, u, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, BV), lambda n, t, u, v, *_: (0, v),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BV), lambda n, t, u, v, *_: (0, v),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BU), lambda n, t, u, v, *_: (n, u),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[lat_out, lat_out, lat_out],
+            scratch_shapes=[
+                pltpu.VMEM((BT, BU), jnp.float32),
+                pltpu.VMEM((BT, BU), jnp.float32),
+                pltpu.VMEM((BT, BU), jnp.float32),
+                pltpu.VMEM((BT, BU), jnp.float32),
+            ],
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -273,61 +507,147 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
     logz_p = _pad_to(_pad_to(logz, 1, TC), 2, UC)
     db_p = _pad_to(_pad_to(db.astype(jnp.float32), 1, TC), 2, UC)
     de_p = _pad_to(_pad_to(de.astype(jnp.float32), 1, TC), 2, UC)
-    w16 = w.astype(jnp.bfloat16)
-    b32 = b.astype(jnp.float32).reshape(1, V)
+    xn32, yn32 = xn.astype(jnp.int32), yn.astype(jnp.int32)
+    BV = _select_bv(T, U, H, V)
+    cost = pl.CostEstimate(
+        flops=6 * N * TC * UC * H * V,
+        bytes_accessed=N * TC * UC * 24 + H * V * 6,
+        transcendentals=N * TC * UC * (H + V),
+    )
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
-    kernel = functools.partial(
-        _bwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
-    )
-    grid = (N, TC // BT, UC // BU)
-    lat = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
-                       memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
-                         memory_space=pltpu.VMEM),
-            lat, lat, lat,
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, UC, H), lambda n, t, u, *_: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    da, dc, dw, dbias = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+    if BV is None:
+        w16 = w.astype(jnp.bfloat16)
+        b32 = b.astype(jnp.float32).reshape(1, V)
+        kernel = functools.partial(
+            _bwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
+        )
+        grid = (N, TC // BT, UC // BU)
+        lat = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
+                           memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
+                             memory_space=pltpu.VMEM),
+                lat, lat, lat,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, UC, H), lambda n, t, u, *_: (n, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        da, dc, dw, dbias = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((N, TC, H), jnp.float32),
+                jax.ShapeDtypeStruct((N, UC, H), jnp.float32),
+                jax.ShapeDtypeStruct((H, V), jnp.float32),
+                jax.ShapeDtypeStruct((1, V), jnp.float32),
+            ],
+            cost_estimate=cost,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(xn32, yn32, a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
+        return da[:, :T], dc[:, :U], dw, dbias.reshape(V)
+
+    # ---- V-blocked backward: two kernels (da/dc, then dw/db) ----------------
+    w_p, b_p, Vp = _pad_vocab(w, b, BV)
+    VV = Vp // BV
+    w16 = w_p.astype(jnp.bfloat16)
+    b32 = b_p.astype(jnp.float32).reshape(1, Vp)
+    lat4 = pl.BlockSpec((1, BT, BU), lambda n, t, u, v, *_: (n, t, u),
+                        memory_space=pltpu.VMEM)
+    in_specs4 = [
+        pl.BlockSpec((1, BT, H), lambda n, t, u, v, *_: (n, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BU, H), lambda n, t, u, v, *_: (n, u, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, BV), lambda n, t, u, v, *_: (0, v),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BV), lambda n, t, u, v, *_: (0, v),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BU), lambda n, t, u, v, *_: (n, u),
+                     memory_space=pltpu.VMEM),
+        lat4, lat4, lat4,
+    ]
+    operands = (xn32, yn32, a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
+    da, dc = pl.pallas_call(
+        functools.partial(_bwd_dadc_kernel_vb, blank=blank, T=T, U=U,
+                          BT=BT, BU=BU, BV=BV, VV=VV),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N, TC // BT, UC // BU, VV),
+            in_specs=in_specs4,
+            out_specs=[
+                pl.BlockSpec((1, BT, H), lambda n, t, u, v, *_: (n, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, UC, H), lambda n, t, u, v, *_: (n, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((BT * BU, H), jnp.float32)],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((N, TC, H), jnp.float32),
             jax.ShapeDtypeStruct((N, UC, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, V), jnp.float32),
-            jax.ShapeDtypeStruct((1, V), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=6 * N * TC * UC * H * V,
-            bytes_accessed=N * TC * UC * 24 + H * V * 6,
-            transcendentals=N * TC * UC * (H + V),
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=cost,
+        compiler_params=cparams,
         interpret=interpret,
-    )(xn.astype(jnp.int32), yn.astype(jnp.int32),
-      a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
-    return da[:, :T], dc[:, :U], dw, dbias.reshape(V)
+    )(*operands)
+    lat_w = pl.BlockSpec((1, BT, BU), lambda v, n, t, u, *_: (n, t, u),
+                         memory_space=pltpu.VMEM)
+    dw, dbias = pl.pallas_call(
+        functools.partial(_bwd_dwdb_kernel_vb, blank=blank, T=T, U=U,
+                          BT=BT, BU=BU, BV=BV, VV=VV),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(VV, N, TC // BT, UC // BU),
+            in_specs=[
+                pl.BlockSpec((1, BT, H), lambda v, n, t, u, *_: (n, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BU, H), lambda v, n, t, u, *_: (n, u, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, BV), lambda v, n, t, u, *_: (0, v),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BV), lambda v, n, t, u, *_: (0, v),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BU), lambda v, n, t, u, *_: (n, u),
+                             memory_space=pltpu.VMEM),
+                lat_w, lat_w, lat_w,
+            ],
+            out_specs=[
+                pl.BlockSpec((H, BV), lambda v, n, t, u, *_: (0, v),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BV), lambda v, n, t, u, *_: (0, v),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((H, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ],
+        cost_estimate=cost,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*operands)
+    return da[:, :T], dc[:, :U], dw[:, :V], dbias.reshape(Vp)[:V]
 
 
 def _labels_ext(labels, blank, N):
@@ -421,27 +741,12 @@ def rnnt_loss_fused_joint(
     c = jnp.dot(g.astype(cd), wc, preferred_element_type=jnp.float32)
     xn = jnp.asarray(frames_lengths, jnp.int32)
     yn = jnp.asarray(labels_lengths, jnp.int32)
-    N, T, H = a.shape
-    U = c.shape[1]
-    V = w_out.shape[1]
-    if fused_joint_supported(T, U, H, V):
-        costs = fused_joint_core(
-            a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl
-        )
-    else:
-        # VMEM-oversized (LLM-scale) vocabulary: materialize logits and use
-        # the fused-softmax loss — still never materializes log-probs
-        from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
-
-        h = jnp.tanh(a[:, :, None, :] + c[:, None, :, :])
-        logits = jax.lax.dot_general(
-            h.astype(cd).reshape(-1, H), w_out.astype(cd),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(N, T, U, V) + b_out.astype(jnp.float32)
-        costs = rnnt_loss_from_logits(
-            logits, labels, xn, yn, reduction="none", blank=blank,
-            fastemit_lambda=fastemit_lambda, impl=impl,
-        )
+    # Oversized (LLM-scale) vocabularies transparently route to the
+    # V-grid-blocked kernels inside joint_lattice_fwd/bwd (_select_bv) —
+    # the logits tensor never exists in HBM at ANY vocabulary size.
+    costs = fused_joint_core(
+        a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl
+    )
     if average_frames:
         costs = costs / xn.astype(costs.dtype)
     if reduction in (None, "none"):
