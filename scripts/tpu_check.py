@@ -181,6 +181,25 @@ for nm, r_, k_ in zip(("da", "dc", "dw", "db"), gr_, gk_):
     )
 print("TPU fused-joint kernel parity OK", flush=True)
 
+# V-grid-blocked fused kernels (the LLM-scale path), forced at check size
+from warp_rnnt_tpu.ops import fused_joint as _fj_mod
+
+_fj_mod._FORCE_BV = 128
+try:
+    lb_, gb_ = jax.jit(
+        jax.value_and_grad(_fj_fused, argnums=(0, 1, 2, 3))
+    )(fa, fc, fw, fb)
+finally:
+    _fj_mod._FORCE_BV = None
+np.testing.assert_allclose(float(lb_), float(lk_), rtol=1e-4)
+for nm, r_, k_ in zip(("da", "dc", "dw", "db"), gk_, gb_):
+    r_, k_ = np.asarray(r_), np.asarray(k_)
+    assert np.isfinite(k_).all(), nm
+    np.testing.assert_allclose(
+        k_, r_, rtol=5e-3, atol=max(1e-3 * np.abs(r_).max(), 1e-6), err_msg=nm
+    )
+print("TPU fused-joint V-blocked kernel parity OK", flush=True)
+
 # ---- serialized (jax.export) artifact executes the Mosaic kernel -----------
 _exp = jax.export.export(
     jax.jit(lambda z: rnnt_core(z, xn, yn, 0.0, "platform")), platforms=("tpu",)

