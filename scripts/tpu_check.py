@@ -200,6 +200,49 @@ for nm, r_, k_ in zip(("da", "dc", "dw", "db"), gk_, gb_):
     )
 print("TPU fused-joint V-blocked kernel parity OK", flush=True)
 
+# large-U lattice (U > 32): exercises the whole-U tiling (the label axis is
+# never grid-blocked — Mosaic requires minor block dims to be 128-multiples
+# or the full array dim, see ops/fused_joint.py module docstring)
+hN, hT, hU, hV, hH = 2, 64, 48, 300, 128
+ha = jnp.asarray(rngf.randn(hN, hT, hH).astype(np.float32)) * 0.3
+hc = jnp.asarray(rngf.randn(hN, hU, hH).astype(np.float32)) * 0.3
+hw = jnp.asarray(rngf.randn(hH, hV).astype(np.float32)) * 0.2
+hb = jnp.asarray(rngf.randn(hV).astype(np.float32)) * 0.1
+hys = jnp.asarray(rngf.randint(1, hV, (hN, hU - 1)).astype(np.int32))
+hxn = jnp.asarray(np.array([64, 50], np.int32))
+hyn = jnp.asarray(np.array([47, 20], np.int32))
+
+
+def _fj_big_ref(a, c, w, b):
+    h = jnp.tanh(a[:, :, None, :] + c[:, None, :, :])
+    z = jax.lax.dot_general(
+        h.astype(jnp.bfloat16).reshape(-1, hH), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(hN, hT, hU, hV) + b
+    lab = _labels_ext(hys, 0, hN)
+    lz = jax.nn.logsumexp(z, -1)
+    el = jnp.take_along_axis(
+        z, jnp.broadcast_to(lab[:, None, :, None], (hN, hT, hU, 1)), -1
+    )[..., 0]
+    return rnnt_core(
+        jnp.stack([z[..., 0] - lz, el - lz], -1), hxn, hyn, 0.0, "pallas"
+    ).sum()
+
+
+_fj_big = lambda a, c, w, b: fused_joint_core(
+    a, c, w, b, hys, hxn, hyn, 0, 0.0, "pallas"
+).sum()
+lrB, grB = jax.jit(jax.value_and_grad(_fj_big_ref, argnums=(0, 1, 2, 3)))(ha, hc, hw, hb)
+lkB, gkB = jax.jit(jax.value_and_grad(_fj_big, argnums=(0, 1, 2, 3)))(ha, hc, hw, hb)
+np.testing.assert_allclose(float(lkB), float(lrB), rtol=1e-4)
+for nm, r_, k_ in zip(("da", "dc", "dw", "db"), grB, gkB):
+    r_, k_ = np.asarray(r_), np.asarray(k_)
+    assert np.isfinite(k_).all(), nm
+    np.testing.assert_allclose(
+        k_, r_, rtol=5e-2, atol=max(2e-2 * np.abs(r_).max(), 1e-5), err_msg=nm
+    )
+print("TPU fused-joint large-U parity OK", flush=True)
+
 # ---- serialized (jax.export) artifact executes the Mosaic kernel -----------
 _exp = jax.export.export(
     jax.jit(lambda z: rnnt_core(z, xn, yn, 0.0, "platform")), platforms=("tpu",)

@@ -274,4 +274,4 @@ def test_vblocked_kernels_match_single_block(monkeypatch):
         )
     # sanity: an LLM-scale vocab really is routed to the blocked kernels
     monkeypatch.setattr(fj, "_FORCE_BV", None)
-    assert fj._select_bv(150, 21, 256, 64000) == fj._DEFAULT_BV
+    assert fj._select_bv(150, 21, 256, 64000) in fj._BV_CANDIDATES

@@ -11,15 +11,21 @@ This kernel removes it: consuming the PROJECTED joint halves
     a = f @ A + b_pre   (N, T, H)     c = g @ C   (N, U, H)
 
 (both joint modes reduce to this form: "add" has A = C = W_pre, "concat"
-splits W_pre into row blocks), it computes per (t, u) tile on the MXU
+splits W_pre into row blocks), it computes per (t,) tile on the MXU
 
-    h      = tanh(a_t + c_u)                  # (BT*BU, H) in bf16
-    logits = h @ W_out + b_out                # (BT*BU, V) fp32 accum
+    h      = tanh(a_t + c_u)                  # (BT*U, H) in bf16
+    logits = h @ W_out + b_out                # (BT*U, V) fp32 accum
 
 and emits ONLY the per-cell blank logit, label logit, and logsumexp — three
-(N, T, U) tensors.  The (N, T, U, V) logits never touch HBM in either
-direction: the backward kernel recomputes h and the softmax per tile from
-(a, c, logZ) and accumulates d_a, d_c, d_W, d_b in VMEM.
+(N, T, U) tensors.  The (N, T, U, V) logits tensor never touches HBM in
+either direction: the backward kernel recomputes h and the softmax per tile
+from (a, c, logZ) and accumulates d_a, d_c, d_W, d_b in VMEM.
+
+Tiling: the U axis is kept WHOLE in every block (RNN-T label rows are short
+— tens to a few hundred), because Mosaic requires a block's minor dim to be
+a multiple of 128 or the full array dim; blocking U would violate that.
+The grid is (N, T-blocks[, V-blocks]) and the per-tile MXU M-dim is
+BT * round_up(U, 8) rows.
 
 FLOP cost is the joint projection itself (N*T*U*(H*V) MACs, bf16 on the
 MXU); HBM traffic is O(N*T*(H+U)) — asymptotically V-free.
@@ -42,11 +48,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _tiles(T: int, U: int):
-    """Choose (BT, BU): BT*BU is the MXU M-dim per tile — target ~256 rows.
-    U is kept whole when small (typical RNN-T: U ~ 20-40), so the u-grid is
-    one block and d_c accumulation never leaves VMEM."""
-    BU = min(_round_up(U, 8), 32)
-    BT = max(8, ((256 // BU) // 8) * 8)
+    """Choose (BT, BU).  BU = round_up(U, 8): the label axis is never
+    blocked (see module docstring).  BT targets ~512 lattice rows per tile
+    (the MXU M-dim), shrinking to 8 for very long label sequences."""
+    BU = _round_up(max(U, 1), 8)
+    cap = ((512 // BU) // 8) * 8
+    BT = max(8, min(_round_up(T, 8), max(cap, 8)))
     return BT, BU
 
 
@@ -55,12 +62,11 @@ def _fwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
                 T: int, U: int, BT: int, BU: int):
     n = pl.program_id(0)
     ti = pl.program_id(1)
-    ui = pl.program_id(2)
-    # Ragged-length tile skip: a tile with no (t < xn, u <= yn) cell does no
-    # MXU work (at typical random lengths ~45% of tiles are dead).  The
+    # Ragged-length tile skip: a tile with no t < xn row does no MXU work
+    # (at typical random lengths a large tail of tiles is dead).  The
     # outputs still get defined values (zeros) — rnnt_core masks cells
     # beyond the lengths, but NaN-from-uninitialized would poison masking.
-    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+    live = ti * BT < xn_ref[n]
 
     @pl.when(live)
     def _():
@@ -77,7 +83,7 @@ def _fwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
         z3 = z.reshape(BT, BU, V)
         m = jnp.max(z3, axis=-1)
         logz = m + jnp.log(jnp.sum(jnp.exp(z3 - m[..., None]), axis=-1))
-        lab = lab_ref[0].reshape(1, BU, 1)                    # (1, BU, 1) int32
+        lab = lab_ref[0].reshape(1, BU, 1)                    # int32
         v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
         emit = jnp.sum(jnp.where(v_iota == lab, z3, 0.0), axis=-1)
         blank_ref[0] = z3[:, :, blank]
@@ -97,25 +103,23 @@ def _bwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref,
                 T: int, U: int, BT: int, BU: int):
     n = pl.program_id(0)
     ti = pl.program_id(1)
-    ui = pl.program_id(2)
 
-    @pl.when((n == 0) & (ti == 0) & (ui == 0))
+    @pl.when((n == 0) & (ti == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    @pl.when(ui == 0)
-    def _():
-        da_ref[:] = jnp.zeros_like(da_ref)
-
-    @pl.when((ti == 0) & (ui == 0))
+    @pl.when(ti == 0)
     def _():
         dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    # da's (n, ti) block is visited exactly once: define it, overwrite below.
+    da_ref[:] = jnp.zeros_like(da_ref)
 
     # Ragged-length tile skip (see _fwd_kernel): dead tiles have all-zero
     # db/de cotangents (rnnt_core's grads are zero beyond the lengths), so
     # skipping contributes exactly nothing to any accumulator.
-    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+    live = ti * BT < xn_ref[n]
 
     @pl.when(live)
     def _():
@@ -133,7 +137,7 @@ def _bwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref,
 
         # valid-cell mask: block-edge padding rows carry undefined values
         t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
-        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1)
         valid = (t_iota < T) & (u_iota < U)
 
         db = jnp.where(valid, db_ref[0], 0.0)
@@ -141,13 +145,15 @@ def _bwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref,
         sm = jnp.exp(z3 - logz_ref[0][..., None])             # softmax (recomputed)
         lab = lab_ref[0].reshape(1, BU, 1)
         v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU, V), 2)
-        # d logits = db*[v==blank] + de*[v==lab] - softmax * (db + de)
+        # d logits = db*[v==blank] + de*[v==lab] - softmax * (db + de).
+        # (No separate valid-mask on dz3: every term carries the already-
+        # masked db/de factor, so invalid cells are exactly zero — and a
+        # bool [..., None] reshape is un-lowerable in Mosaic anyway.)
         dz3 = (
             db[..., None] * (v_iota == blank)
             + de[..., None] * (v_iota == lab)
             - sm * (db + de)[..., None]
         )
-        dz3 = jnp.where(valid[..., None], dz3, 0.0)
         dz = dz3.reshape(BT * BU, V)
 
         # d_h = dz @ W^T  (contract over V)
@@ -156,8 +162,8 @@ def _bwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref,
             preferred_element_type=jnp.float32,
         )                                                     # (BT*BU, H)
         dpre = dhm.reshape(BT, BU, -1) * (1.0 - h * h)        # tanh'
-        da_ref[0] += jnp.sum(dpre, axis=1)
-        dc_ref[0, pl.ds(ui * BU, BU), :] += jnp.sum(dpre, axis=0)
+        da_ref[0] = jnp.sum(dpre, axis=1)
+        dc_ref[0] += jnp.sum(dpre, axis=0)
 
         # d_W += h^T @ dz, d_b += colsum(dz)
         dw_ref[:] += jax.lax.dot_general(
@@ -174,20 +180,22 @@ def _interpret():
 # Test hook: force a specific V-block size (None = auto).
 _FORCE_BV = None
 
-_DEFAULT_BV = 2048
+_BV_CANDIDATES = (2048, 1024, 512, 256, 128)
+
+
+def _vmem_need(BT: int, BU: int, H: int, Vblk: int) -> int:
+    """Rough resident VMEM for one tile at logits width Vblk: w bf16 + dw
+    fp32 (backward) + ~6 (BT*BU, Vblk) fp32 logits-class buffers."""
+    return H * Vblk * 2 + H * Vblk * 4 + 6 * BT * BU * Vblk * 4
 
 
 def fused_joint_supported(T: int, U: int, H: int, V: int) -> bool:
-    """Whether the SINGLE-V-block kernel's VMEM working set fits.
-
-    The kernel keeps w (H, Vp) bf16, dw (H, Vp) fp32 (backward) and ~6
-    (BT*BU, Vp) fp32 logits-class buffers resident.  Beyond this — LLM-size
-    vocabularies — the V-grid-blocked kernels take over (running logsumexp
-    across V-blocks; backward split into da/dc and dw/db passes)."""
+    """Whether the SINGLE-V-block kernel's VMEM working set fits.  Beyond
+    this — LLM-size vocabularies — the V-grid-blocked kernels take over
+    (running logsumexp across V-blocks; backward split into da/dc and dw/db
+    passes)."""
     BT, BU = _tiles(T, U)
-    Vp = _round_up(V, 128)
-    need = H * Vp * 2 + H * Vp * 4 + 6 * BT * BU * Vp * 4
-    return need <= int(_VMEM_LIMIT * 0.6)
+    return _vmem_need(BT, BU, H, _round_up(V, 128)) <= int(_VMEM_LIMIT * 0.6)
 
 
 def _select_bv(T: int, U: int, H: int, V: int):
@@ -195,7 +203,13 @@ def _select_bv(T: int, U: int, H: int, V: int):
     kernels (vocab padded to a multiple of it with -inf logits)."""
     if _FORCE_BV is not None:
         return None if _FORCE_BV >= V else _FORCE_BV
-    return None if fused_joint_supported(T, U, H, V) else _DEFAULT_BV
+    if fused_joint_supported(T, U, H, V):
+        return None
+    BT, BU = _tiles(T, U)
+    for bv in _BV_CANDIDATES:
+        if bv < V and _vmem_need(BT, BU, H, bv) <= int(_VMEM_LIMIT * 0.6):
+            return bv
+    return _BV_CANDIDATES[-1]
 
 
 def _pad_vocab(w, b, BV: int):
@@ -227,9 +241,8 @@ def _fwd_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
     compare-mask; outputs written on the last V-block."""
     n = pl.program_id(0)
     ti = pl.program_id(1)
-    ui = pl.program_id(2)
-    vi = pl.program_id(3)
-    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+    vi = pl.program_id(2)
+    live = ti * BT < xn_ref[n]
 
     @pl.when(vi == 0)
     def _():
@@ -276,22 +289,18 @@ def _bwd_dadc_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
     VMEM scratch, folded into d_a / d_c on the last block."""
     n = pl.program_id(0)
     ti = pl.program_id(1)
-    ui = pl.program_id(2)
-    vi = pl.program_id(3)
-
-    @pl.when((ui == 0) & (vi == 0))
-    def _():
-        da_ref[:] = jnp.zeros_like(da_ref)
-
-    @pl.when((ti == 0) & (ui == 0) & (vi == 0))
-    def _():
-        dc_ref[:] = jnp.zeros_like(dc_ref)
-
-    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+    vi = pl.program_id(2)
 
     @pl.when(vi == 0)
     def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
         dhm_sc[:] = jnp.zeros_like(dhm_sc)
+
+    @pl.when((ti == 0) & (vi == 0))
+    def _():
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    live = ti * BT < xn_ref[n]
 
     @pl.when(live)
     def _():
@@ -306,7 +315,7 @@ def _bwd_dadc_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
         ) + b_ref[0][None, :]
         z3 = z.reshape(BT, BU, BV)
         t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
-        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1)
         valid = (t_iota < T) & (u_iota < U)
         db = jnp.where(valid, db_ref[0], 0.0)
         de = jnp.where(valid, de_ref[0], 0.0)
@@ -317,8 +326,7 @@ def _bwd_dadc_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
             db[..., None] * (v_iota == blank)
             + de[..., None] * (v_iota == lab)
             - sm * (db + de)[..., None]
-        )
-        dz3 = jnp.where(valid[..., None], dz3, 0.0)
+        )  # invalid cells: db/de masked to zero -> dz3 exactly zero
         dz = dz3.reshape(BT * BU, BV)
         dhm_sc[:] += jax.lax.dot_general(
             dz.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
@@ -331,28 +339,27 @@ def _bwd_dadc_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
         c = c_ref[0]
         h = jnp.tanh(a[:, None, :] + c[None, :, :])
         dpre = dhm_sc[:].reshape(BT, BU, -1) * (1.0 - h * h)
-        da_ref[0] += jnp.sum(dpre, axis=1)
-        dc_ref[0, pl.ds(ui * BU, BU), :] += jnp.sum(dpre, axis=0)
+        da_ref[0] = jnp.sum(dpre, axis=1)
+        dc_ref[0] += jnp.sum(dpre, axis=0)
 
 
 def _bwd_dwdb_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
                         logz_ref, db_ref, de_ref, dw_ref, dbias_ref,
                         *, blank: int, T: int, U: int, BT: int, BU: int,
                         BV: int, VV: int):
-    """V-blocked backward, weight half: grid is (VV, N, TT, UU) so each
-    (H, BV) d_W block stays VMEM-resident across the whole lattice and is
-    flushed exactly once — no revisit-after-flush hazard."""
+    """V-blocked backward, weight half: grid is (VV, N, TT) so each (H, BV)
+    d_W block stays VMEM-resident across the whole lattice and is flushed
+    exactly once — no revisit-after-flush hazard."""
     vi = pl.program_id(0)
     n = pl.program_id(1)
     ti = pl.program_id(2)
-    ui = pl.program_id(3)
 
-    @pl.when((n == 0) & (ti == 0) & (ui == 0))
+    @pl.when((n == 0) & (ti == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    live = (ti * BT < xn_ref[n]) & (ui * BU <= yn_ref[n])
+    live = ti * BT < xn_ref[n]
 
     @pl.when(live)
     def _():
@@ -366,7 +373,7 @@ def _bwd_dwdb_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
         ) + b_ref[0][None, :]
         z3 = z.reshape(BT, BU, BV)
         t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 0) + ti * BT
-        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1) + ui * BU
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, BU), 1)
         valid = (t_iota < T) & (u_iota < U)
         db = jnp.where(valid, db_ref[0], 0.0)
         de = jnp.where(valid, de_ref[0], 0.0)
@@ -377,8 +384,7 @@ def _bwd_dwdb_kernel_vb(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref,
             db[..., None] * (v_iota == blank)
             + de[..., None] * (v_iota == lab)
             - sm * (db + de)[..., None]
-        )
-        dz3 = jnp.where(valid[..., None], dz3, 0.0)
+        )  # invalid cells: db/de masked to zero -> dz3 exactly zero
         dz = dz3.reshape(BT * BU, BV)
         dw_ref[:] += jax.lax.dot_general(
             hm, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
@@ -393,9 +399,9 @@ def joint_lattice_fwd(a, c, w, b, labels_ext, xn, yn, blank: int,
 
     a (N, T, H) fp32, c (N, U, H) fp32, w (H, V), b (V,),
     labels_ext (N, U) int32 (label of row u, blank on the last row).
-    xn/yn (N,) int32 lengths drive the ragged tile skip: tiles with no
-    (t < xn, u <= yn) cell do no MXU work and emit zeros (the loss core
-    masks those cells anyway).
+    xn (N,) int32 lengths drive the ragged tile skip: t-tiles past a
+    sample's xn do no MXU work and emit zeros (the loss core masks those
+    cells anyway).
     """
     if interpret is None:
         interpret = _interpret()
@@ -403,35 +409,37 @@ def joint_lattice_fwd(a, c, w, b, labels_ext, xn, yn, blank: int,
     U = labels_ext.shape[1]
     V = w.shape[1]
     BT, BU = _tiles(T, U)
-    TC, UC = _round_up(T, BT), _round_up(U, BU)
+    TC, UC = _round_up(T, BT), BU
     a_p = _pad_to(a.astype(jnp.float32), 1, TC)
     c_p = _pad_to(c.astype(jnp.float32), 1, UC)
-    lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)
+    # labels ride as (N, UC, 1) so the block's minor dims satisfy Mosaic's
+    # (8, 128)-or-full-dim tiling rule
+    lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)[..., None]
     BV = _select_bv(T, U, H, V)
-    lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
-                           memory_space=pltpu.VMEM)
     common_in = [
-        pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
+        pl.BlockSpec((1, BT, H), lambda n, t, *_: (n, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
+        pl.BlockSpec((1, BU, H), lambda n, t, *_: (n, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    lab_in = pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
+    lab_in = pl.BlockSpec((1, BU, 1), lambda n, t, *_: (n, 0, 0),
                           memory_space=pltpu.VMEM)
     if BV is None:
         kernel = functools.partial(
             _fwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
         )
-        grid = (N, TC // BT, UC // BU)
+        grid = (N, TC // BT)
         w16 = w.astype(jnp.bfloat16)
         b32 = b.astype(jnp.float32).reshape(1, V)
+        lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, *_: (n, t, 0),
+                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=common_in + [
-                pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
+                pl.BlockSpec((H, V), lambda n, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
+                pl.BlockSpec((1, V), lambda n, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 lab_in,
             ],
@@ -443,24 +451,24 @@ def joint_lattice_fwd(a, c, w, b, labels_ext, xn, yn, blank: int,
         kernel = functools.partial(
             _fwd_kernel_vb, blank=blank, T=T, U=U, BT=BT, BU=BU, BV=BV, VV=VV
         )
-        grid = (N, TC // BT, UC // BU, VV)
+        grid = (N, TC // BT, VV)
         w16 = w_p.astype(jnp.bfloat16)
         b32 = b_p.astype(jnp.float32).reshape(1, Vp)
-        lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, u, v, *_: (n, t, u),
+        lat_out = pl.BlockSpec((1, BT, BU), lambda n, t, v, *_: (n, t, 0),
                                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, BT, H), lambda n, t, u, v, *_: (n, t, 0),
+                pl.BlockSpec((1, BT, H), lambda n, t, v, *_: (n, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BU, H), lambda n, t, u, v, *_: (n, u, 0),
+                pl.BlockSpec((1, BU, H), lambda n, t, v, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, BV), lambda n, t, u, v, *_: (0, v),
+                pl.BlockSpec((H, BV), lambda n, t, v, *_: (0, v),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BV), lambda n, t, u, v, *_: (0, v),
+                pl.BlockSpec((1, BV), lambda n, t, v, *_: (0, v),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BU), lambda n, t, u, v, *_: (n, u),
+                pl.BlockSpec((1, BU, 1), lambda n, t, v, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[lat_out, lat_out, lat_out],
@@ -500,10 +508,10 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
     U = labels_ext.shape[1]
     V = w.shape[1]
     BT, BU = _tiles(T, U)
-    TC, UC = _round_up(T, BT), _round_up(U, BU)
+    TC, UC = _round_up(T, BT), BU
     a_p = _pad_to(a.astype(jnp.float32), 1, TC)
     c_p = _pad_to(c.astype(jnp.float32), 1, UC)
-    lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)
+    lab_p = _pad_to(labels_ext.astype(jnp.int32), 1, UC)[..., None]
     logz_p = _pad_to(_pad_to(logz, 1, TC), 2, UC)
     db_p = _pad_to(_pad_to(db.astype(jnp.float32), 1, TC), 2, UC)
     de_p = _pad_to(_pad_to(de.astype(jnp.float32), 1, TC), 2, UC)
@@ -522,33 +530,33 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
         kernel = functools.partial(
             _bwd_kernel, blank=blank, T=T, U=U, BT=BT, BU=BU
         )
-        grid = (N, TC // BT, UC // BU)
-        lat = pl.BlockSpec((1, BT, BU), lambda n, t, u, *_: (n, t, u),
+        grid = (N, TC // BT)
+        lat = pl.BlockSpec((1, BT, BU), lambda n, t, *_: (n, t, 0),
                            memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
+                pl.BlockSpec((1, BT, H), lambda n, t, *_: (n, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BU, H), lambda n, t, u, *_: (n, u, 0),
+                pl.BlockSpec((1, BU, H), lambda n, t, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
+                pl.BlockSpec((H, V), lambda n, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
+                pl.BlockSpec((1, V), lambda n, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BU), lambda n, t, u, *_: (n, u),
+                pl.BlockSpec((1, BU, 1), lambda n, t, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
                 lat, lat, lat,
             ],
             out_specs=[
-                pl.BlockSpec((1, BT, H), lambda n, t, u, *_: (n, t, 0),
+                pl.BlockSpec((1, BT, H), lambda n, t, *_: (n, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, UC, H), lambda n, t, u, *_: (n, 0, 0),
+                pl.BlockSpec((1, UC, H), lambda n, t, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, V), lambda n, t, u, *_: (0, 0),
+                pl.BlockSpec((H, V), lambda n, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, V), lambda n, t, u, *_: (0, 0),
+                pl.BlockSpec((1, V), lambda n, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
         )
@@ -572,20 +580,20 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
     VV = Vp // BV
     w16 = w_p.astype(jnp.bfloat16)
     b32 = b_p.astype(jnp.float32).reshape(1, Vp)
-    lat4 = pl.BlockSpec((1, BT, BU), lambda n, t, u, v, *_: (n, t, u),
+    lat3 = pl.BlockSpec((1, BT, BU), lambda n, t, v, *_: (n, t, 0),
                         memory_space=pltpu.VMEM)
-    in_specs4 = [
-        pl.BlockSpec((1, BT, H), lambda n, t, u, v, *_: (n, t, 0),
+    in_specs3 = [
+        pl.BlockSpec((1, BT, H), lambda n, t, v, *_: (n, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BU, H), lambda n, t, u, v, *_: (n, u, 0),
+        pl.BlockSpec((1, BU, H), lambda n, t, v, *_: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, BV), lambda n, t, u, v, *_: (0, v),
+        pl.BlockSpec((H, BV), lambda n, t, v, *_: (0, v),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BV), lambda n, t, u, v, *_: (0, v),
+        pl.BlockSpec((1, BV), lambda n, t, v, *_: (0, v),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BU), lambda n, t, u, v, *_: (n, u),
+        pl.BlockSpec((1, BU, 1), lambda n, t, v, *_: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        lat4, lat4, lat4,
+        lat3, lat3, lat3,
     ]
     operands = (xn32, yn32, a_p, c_p, w16, b32, lab_p, logz_p, db_p, de_p)
     da, dc = pl.pallas_call(
@@ -593,12 +601,12 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
                           BT=BT, BU=BU, BV=BV, VV=VV),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(N, TC // BT, UC // BU, VV),
-            in_specs=in_specs4,
+            grid=(N, TC // BT, VV),
+            in_specs=in_specs3,
             out_specs=[
-                pl.BlockSpec((1, BT, H), lambda n, t, u, v, *_: (n, t, 0),
+                pl.BlockSpec((1, BT, H), lambda n, t, v, *_: (n, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, UC, H), lambda n, t, u, v, *_: (n, 0, 0),
+                pl.BlockSpec((1, UC, H), lambda n, t, v, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[pltpu.VMEM((BT * BU, H), jnp.float32)],
@@ -611,31 +619,31 @@ def joint_lattice_bwd(a, c, w, b, labels_ext, xn, yn, logz, db, de, blank: int,
         compiler_params=cparams,
         interpret=interpret,
     )(*operands)
-    lat_w = pl.BlockSpec((1, BT, BU), lambda v, n, t, u, *_: (n, t, u),
+    lat_w = pl.BlockSpec((1, BT, BU), lambda v, n, t, *_: (n, t, 0),
                          memory_space=pltpu.VMEM)
     dw, dbias = pl.pallas_call(
         functools.partial(_bwd_dwdb_kernel_vb, blank=blank, T=T, U=U,
                           BT=BT, BU=BU, BV=BV, VV=VV),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(VV, N, TC // BT, UC // BU),
+            grid=(VV, N, TC // BT),
             in_specs=[
-                pl.BlockSpec((1, BT, H), lambda v, n, t, u, *_: (n, t, 0),
+                pl.BlockSpec((1, BT, H), lambda v, n, t, *_: (n, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BU, H), lambda v, n, t, u, *_: (n, u, 0),
+                pl.BlockSpec((1, BU, H), lambda v, n, t, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, BV), lambda v, n, t, u, *_: (0, v),
+                pl.BlockSpec((H, BV), lambda v, n, t, *_: (0, v),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BV), lambda v, n, t, u, *_: (0, v),
+                pl.BlockSpec((1, BV), lambda v, n, t, *_: (0, v),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BU), lambda v, n, t, u, *_: (n, u),
+                pl.BlockSpec((1, BU, 1), lambda v, n, t, *_: (n, 0, 0),
                              memory_space=pltpu.VMEM),
                 lat_w, lat_w, lat_w,
             ],
             out_specs=[
-                pl.BlockSpec((H, BV), lambda v, n, t, u, *_: (0, v),
+                pl.BlockSpec((H, BV), lambda v, n, t, *_: (0, v),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BV), lambda v, n, t, u, *_: (0, v),
+                pl.BlockSpec((1, BV), lambda v, n, t, *_: (0, v),
                              memory_space=pltpu.VMEM),
             ],
         ),
