@@ -22,15 +22,17 @@ Shapes under jit must be static: `STU` comes from ``xs.shape`` and the dense
 bounds T = max(xn), U = max(yn)+1 must be supplied via ``max_frames`` /
 ``max_labels`` when lengths are traced (outside jit they are derived).
 
-Cost model (measured on v5e): the packed layout pays a handful of
-STU-row gathers (label lookup, pack/unpack, and the caller's packed joint
-rows), each costing a flat ~15-30 ns per row on TPU regardless of row
-width.  That tax is negligible when the per-row (V) math dominates —
-compact is 3.5x faster than padded at V=5000 — but dominates at tiny V
-with huge lattices (T=1500, U=300, V=50: 238 ms vs the padded path's
-46 ms).  Rule of thumb: prefer compact when V >= ~1000 or when padded
-memory is the binding constraint; prefer padded for small-vocabulary
-long-sequence workloads.
+Cost model (measured on v5e): the packed<->padded movement is auto-routed
+per vocabulary regime (`_use_movement_kernel`).  Small V (compare-mask
+regime, V*itemsize <= ~12 KiB): Pallas offset-DMA kernels
+(`ops/packed_kernels.py`), 2.6-3.7x over the XLA composition (loss+grad on
+packed input: 0.39 ms at T=150,U=40,V=28; 63.7 ms at T=1500,U=300,V=50).
+Large V: XLA take_along_axis moves rows at a flat ~15-30 ns/row and wins
+(1.6 ms at V=5000).  End-to-end, compact is ~3.5x faster AND lighter than
+padded at V=5000 (the vocabulary dominates); at tiny-V/huge-lattice shapes
+the CALLER's packed-joint row construction (f/g gathers over STU rows)
+still dominates the step and padded remains faster overall — prefer
+compact when V >= ~1000 or when padded memory is the binding constraint.
 """
 
 from __future__ import annotations
@@ -45,13 +47,25 @@ from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
 from warp_rnnt_tpu.functional.gather import gather_blank_label
 
 # Packed-movement backend for the differentiable path: None = auto (Pallas
-# offset-DMA kernels on TPU, XLA composition elsewhere); tests force it.
+# offset-DMA kernels on TPU in the small-V regime, XLA composition
+# elsewhere); tests force it.
 _FORCE_KERNEL: Optional[bool] = None
 
 
-def _use_movement_kernel() -> bool:
+def _use_movement_kernel(V: int, dtype=jnp.float32) -> bool:
+    """The kernel wins exactly where XLA's movement lowering is the slow
+    gather/iota-select class — the compare-mask regime (V*itemsize under
+    the ~12 KiB crossover).  Above it, XLA's take_along_axis runs the
+    movement at a flat ~15-30 ns/row and the kernel's full-row window
+    reads lose (isolated loss+grad on packed input, v5e:
+    V=28: 0.39 ms kernel vs 1.45 XLA; V=50 @ T=1500,U=300: 63.7 vs 166.3;
+    V=5000: 11.6 kernel vs 1.6 XLA — scripts/exp_movement_isolation.py)."""
     if _FORCE_KERNEL is not None:
         return _FORCE_KERNEL
+    from warp_rnnt_tpu.functional.gather import _use_mask
+
+    if not _use_mask(V, dtype):
+        return False
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:
@@ -182,10 +196,14 @@ def rnnt_loss_compact_costs(
     U = max_y + 1
     from warp_rnnt_tpu.ops.packed_kernels import movement_kernel_supported
 
-    if _use_movement_kernel() and movement_kernel_supported(T, U, xs.shape[1]):
+    if (
+        _use_movement_kernel(xs.shape[1])
+        and movement_kernel_supported(T, U, xs.shape[1])
+    ):
         # Pallas offset-DMA movement: one kernel pass per direction instead
-        # of XLA's ~26 GB/s gather/iota-select fusions (8x at T=1500, U=300,
-        # V=50 — see ops/packed_kernels.py and scripts/exp_compact_micro.py)
+        # of XLA's ~26 GB/s gather/iota-select fusions (2.6-3.7x measured
+        # loss+grad at the small-V reference shapes — see
+        # ops/packed_kernels.py and scripts/exp_movement_isolation.py)
         from warp_rnnt_tpu.ops.packed_kernels import _loc_rows, packed_lattice
 
         loc_rows = _loc_rows(ys, xn, yn, U, blank)

@@ -2,9 +2,9 @@
 
 The reference's compact CUDA kernels (`core_compact.cu:403-484`) index packed
 rows directly — per-thread offset arithmetic is free on a GPU.  The XLA
-equivalents are not free on TPU: every formulation of the ragged
-packed<->padded movement lowers to a gather/iota-select class that runs at
-~26-28 GB/s (measured, scripts/exp_compact_micro.py):
+equivalents are not free on TPU at small vocabularies: every formulation of
+the ragged packed<->padded movement lowers to a gather/iota-select class
+that runs at ~26-28 GB/s (measured, scripts/exp_compact_micro.py):
 
     compact_gather fwd (mask over (STU,V))      31.7 ms
     per-cell unpack (STU,2)->(N,T,U,2)          37.9 ms
@@ -18,15 +18,37 @@ arithmetic + contiguous DMA — the TPU equivalent of the reference's
   * `packed_gather_padded`: packed (STU, V) -> blank/emit columns (N, T, U)
     in one pass.  Per (n, t-tile) grid step, one contiguous DMA pulls the
     sample's BT*(yn+1) packed rows into VMEM (packed rows of one sample are
-    consecutive), an in-VMEM dynamic-offset reslice de-interleaves the
-    ragged (yn+1)-strided frames to U-strided ones, and a compare-mask
-    extracts the blank/label columns on the VPU (VMEM-resident iota-select
-    is ~50x cheaper than the HBM-level fusion).
+    consecutive); the blank/label columns are extracted on the VPU in
+    window coordinates, and only those 2-wide columns are permuted to the
+    padded (BT, U) layout.
   * `packed_scatter_grads`: the exact inverse for the backward pass — the
-    dense two-nonzero gradient rows are composed in VMEM and DMA'd back to
-    the packed buffer at the sample's offsets.  Overlapping tail writes
-    (the U-vs-(yn+1) stride mismatch) are resolved by ascending write
-    order: each frame/tile overwrites its predecessor's overrun.
+    dense two-nonzero gradient rows are composed directly in the packed
+    window layout in VMEM and DMA'd back at the sample's offsets.
+    Overlapping tail writes (the U-vs-(yn+1) stride mismatch) are resolved
+    by ascending write order: each frame/tile overwrites its predecessor's
+    overrun, and the 8-row-aligned store head is read-modify-written.
+
+The ragged<->padded permutation itself never touches the V-wide rows, and
+its cost is LINEAR in the window size: each window row j's padded
+coordinates (t_j, u_j) are recovered by an exact float floor-division by
+the dynamic stride (VPU has no integer divide; one ±1 correction step makes
+it exact), and the permutation is applied through two thin one-hot
+factors — G (W, U) over u and tsel (W, BT) over t — as small MXU matmuls.
+(A first formulation materialized the full (W, BT, U) one-hot; that is
+QUADRATIC in BT*U and explodes at reference scale — 371 MB at U=301.)
+No dynamic-offset vector load/store and no sublane<->lane relayout ever
+reaches Mosaic — dynamic sublane slices at ragged strides are un-lowerable
+("cannot statically prove that index in dimension 0 is a multiple of 8").
+`loc` rides as a sublane-replicated (N, 8, U) block so it arrives
+lane-oriented without a (U,1)->(1,U) relayout.
+
+The vocab dim is padded to a 128 multiple when needed (Mosaic DMA requires
+the copied minor extent be 128-lane aligned).  The gather kernel reads the
+operand without ROW padding: the DMA window is clamped to the 8-row
+tile-padded allocation (HBM buffers are (8,128)-tile padded, so a <8-row
+overread past STU stays inside the allocation and the affected cells are
+masked).  Only the scatter output carries explicit pad rows (its aligned
+8-row store granularity needs writable slack).
 
 Both kernels fall back to the XLA composition off-TPU (interpret mode is
 used only in tests).
@@ -52,113 +74,172 @@ def _round_up(x: int, m: int) -> int:
 def _choose_bt(T: int, U: int, V: int):
     """Frames per grid step, or None when the kernel cannot run.
 
-    Mosaic requires the (BT, U) out-block's second-minor dim be a multiple
-    of 8 (or the whole dim), and VMEM must hold ~3 slabs of (BT*U, V) fp32;
-    configs violating both (huge U AND huge V) fall back to the XLA path.
-    """
+    VMEM must hold the (W, V) window slab plus the (W, U) one-hot factor
+    and compose scratch; configs violating that (huge U AND huge V) fall
+    back to the XLA path."""
     budget = int(_VMEM_LIMIT * 0.5)
-    by_vmem = budget // (3 * U * V * 4)
+    Vp = _round_up(V, 128)
     if T < 8:
-        return T if by_vmem >= T else None
-    bt = (min(by_vmem, 32, T) // 8) * 8
-    return int(bt) if bt >= 8 else None
+        W = T * U + 16
+        return T if W * (Vp + U + T + 8) * 4 <= budget else None
+    for bt in (32, 24, 16, 8):
+        W = _round_up(bt * U + 16, 8)
+        if W * (Vp + U + bt + 8) * 4 <= budget:
+            return min(bt, _round_up(T, 8))
+    return None
 
 
 def movement_kernel_supported(T: int, U: int, V: int) -> bool:
-    return _choose_bt(T, U, _round_up(V, 128)) is not None
+    return _choose_bt(T, U, V) is not None
+
+
+def _window_coords(shift, stride, W: int, BT: int, U: int):
+    """Per-window-row padded coordinates and one-hot factors.
+
+    Returns (G, tsel): G (W, U) f32 one-hot over u_j, tsel (W, BT) f32
+    one-hot over t_j, both zero on rows outside this tile's frames.
+    t_j = (j - shift) // stride by exact float floor-division (+-1
+    corrected); u_j = (j - shift) - t_j * stride.
+    """
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    jrel = j_col - shift                                     # (W, 1)
+    recip = 1.0 / stride.astype(jnp.float32)
+    q = jnp.floor(jrel.astype(jnp.float32) * recip).astype(jnp.int32)
+    r = jrel - q * stride
+    q = q + (r >= stride).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    u_of = jrel - q * stride                                 # (W, 1)
+    valid = (jrel >= 0) & (q >= 0) & (q < BT)
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (W, U), 1)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 1)
+    G = ((u_iota == u_of) & valid).astype(jnp.float32)
+    tsel = ((t_iota == q) & valid).astype(jnp.float32)
+    return G, tsel
 
 
 def _gather_kernel(starts_ref, yn_ref, xn_ref, loc_ref, xs_hbm,
-                   blank_ref, emit_ref, buf, resl, sem,
+                   blank_ref, emit_ref, buf, sem,
                    *, blank: int, BT: int, U: int, V: int, T: int, STU: int):
     n = pl.program_id(0)
     tt = pl.program_id(1)
     ynn = yn_ref[n]          # labels of sample n
     xnn = xn_ref[n]
     stride = ynn + 1         # packed rows per frame
-    W = BT * U + U           # window rows: frame reads stay in-bounds even
-    #                          for the masked u > yn tail (stride < U)
-
-    W = _round_up(W + 8, 8)  # 8-row DMA alignment slack
+    W = buf.shape[0]
 
     start = starts_ref[n * pl.num_programs(1) + tt]
-    # 8-row-aligned DMA start; clamp to the padded buffer (STU + W rows) —
-    # a nonzero overflow shift happens only for fully-invalid tiles (start
-    # beyond STU), whose outputs are masked
-    cl = jnp.minimum((start // 8) * 8, (STU // 8) * 8)
+    # 8-row-aligned DMA start, clamped so the static-size window stays
+    # inside the 8-row tile-padded allocation; a larger-than-8 shift
+    # happens only near/past the buffer end, where affected cells are
+    # masked (dead tiles) or still covered (j = row - cl < W)
+    cl_max = max(_round_up(STU, 8) - W, 0)
+    cl = jnp.minimum((start // 8) * 8, cl_max)
     shift = start - cl
 
     copy = pltpu.make_async_copy(
-        xs_hbm.at[pl.ds(cl, W), :], buf, sem
+        xs_hbm.at[pl.ds(pl.multiple_of(cl, 8), W), :], buf, sem
     )
     copy.start()
     copy.wait()
 
-    # de-interleave: padded frame t rows live at buf[shift + t*stride + u]
-    for t in range(BT):
-        off = jnp.minimum(shift + t * stride, W - U)
-        resl[t * U:(t + 1) * U, :] = buf[pl.ds(off, U), :]
+    G, tsel = _window_coords(shift, stride, W, BT, U)
+    loc_lane = loc_ref[0][0:1, :]                     # (1, U) int32
 
-    r3 = resl[:].reshape(BT, U, V)
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, U, V), 2)
-    loc = loc_ref[pl.ds(n, 1), :].reshape(1, U, 1)
-    emit = jnp.sum(jnp.where(v_iota == loc, r3, 0.0), axis=-1)
-    blank_c = jnp.sum(jnp.where(v_iota == blank, r3, 0.0), axis=-1)
+    # per-window-row label column: loc_w[j] = loc[u_j] (ints are exact f32)
+    loc_w = jnp.sum(G * loc_lane.astype(jnp.float32), axis=1, keepdims=True)
+    win = buf[:]                                      # (W, V)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (W, V), 1)
+    emit_w = jnp.sum(
+        jnp.where(v_iota == loc_w.astype(jnp.int32), win, 0.0),
+        axis=1, keepdims=True,
+    )                                                 # (W, 1)
+    blank_w = jnp.sum(
+        jnp.where(v_iota == blank, win, 0.0), axis=1, keepdims=True
+    )
+
+    # permute the 2-wide columns (NOT the V-wide rows) to padded layout:
+    # out[t, u] = sum_j tsel[j, t] * x_w[j] * G[j, u] — two thin matmuls
+    # precision=HIGHEST: the MXU's default bf16 input rounding would
+    # corrupt the carried values (one-hot selection must be exact)
+    emit_p = jax.lax.dot_general(
+        tsel * emit_w, G, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                 # (BT, U)
+    blank_p = jax.lax.dot_general(
+        tsel * blank_w, G, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # mask cells outside the sample's lattice (garbage reads)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, U), 0) + tt * BT
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, U), 1)
     ok = (t_iota < xnn) & (u_iota <= ynn)
-    blank_ref[0] = jnp.where(ok, blank_c, 0.0)
-    emit_ref[0] = jnp.where(ok, emit, 0.0)
+    blank_ref[0] = jnp.where(ok, blank_p, 0.0)
+    emit_ref[0] = jnp.where(ok, emit_p, 0.0)
 
 
 def _scatter_kernel(starts_ref, yn_ref, xn_ref, loc_ref, ct0_ref, ct1_ref,
-                    zeros_hbm, out_hbm, buf, sem,
+                    zeros_hbm, out_hbm, buf, head, sem,
                     *, blank: int, BT: int, U: int, V: int, T: int, STU: int):
     n = pl.program_id(0)
     tt = pl.program_id(1)
     ynn = yn_ref[n]
     xnn = xn_ref[n]
     stride = ynn + 1
-    WS = _round_up(BT * U + 8, 8)
+    WS = buf.shape[0]
     # clamp fully-invalid tiles (start beyond STU) into the pad region;
     # their payload is all-zero so the clamped write is harmless
-    start = jnp.minimum(
-        starts_ref[n * pl.num_programs(1) + tt], STU
-    )
+    start = jnp.minimum(starts_ref[n * pl.num_programs(1) + tt], STU)
     # DMA writes are 8-row aligned: read-modify-write the aligned head so
     # rows [start8, start) — written by the PREVIOUS tile (grid order is
     # ascending packed offsets) — survive this tile's aligned store
     start8 = (start // 8) * 8
     d = start - start8
-    head = pltpu.make_async_copy(
-        out_hbm.at[pl.ds(start8, 8), :], buf.at[0:8, :], sem
+    hcopy = pltpu.make_async_copy(
+        out_hbm.at[pl.ds(pl.multiple_of(start8, 8), 8), :], head, sem
     )
-    head.start()
-    head.wait()
+    hcopy.start()
+    hcopy.wait()
 
-    # dense two-nonzero rows for this tile, in padded (BT, U) layout
+    # masked cotangents for this tile, padded (BT, U) layout
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, U), 0) + tt * BT
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, U), 1)
     ok = (t_iota < xnn) & (u_iota <= ynn)
-    ct0 = jnp.where(ok, ct0_ref[0], 0.0)
+    ct0 = jnp.where(ok, ct0_ref[0], 0.0)              # (BT, U)
     ct1 = jnp.where(ok, ct1_ref[0], 0.0)
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, U, V), 2)
-    loc = loc_ref[pl.ds(n, 1), :].reshape(1, U, 1)
-    dense = (
-        ct0[..., None] * (v_iota == blank) + ct1[..., None] * (v_iota == loc)
-    ).reshape(BT * U, V)
 
-    # re-interleave to the packed stride; ascending frames overwrite the
-    # previous frame's overrun tail (rows past yn+1)
-    for t in range(BT):
-        buf[pl.ds(d + t * stride, U), :] = dense[t * U:(t + 1) * U, :]
+    # compose the window DIRECTLY in packed layout: per window row j, pull
+    # the (t_j, u_j) cell's cotangents + label through the one-hot factors:
+    # x_w[j] = sum_u G[j, u] * x[t_j, u] = sum_t tsel[j, t] (G @ x^T)[j, t]
+    G, tsel = _window_coords(d, stride, WS, BT, U)
+    loc_lane = loc_ref[0][0:1, :]
+    xu0 = jax.lax.dot_general(
+        G, ct0, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact one-hot selection
+    )                                                 # (WS, BT)
+    xu1 = jax.lax.dot_general(
+        G, ct1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ct0_w = jnp.sum(tsel * xu0, axis=1, keepdims=True)  # (WS, 1)
+    ct1_w = jnp.sum(tsel * xu1, axis=1, keepdims=True)
+    loc_w = jnp.sum(G * loc_lane.astype(jnp.float32), axis=1, keepdims=True)
+
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (WS, V), 1)
+    dense = (
+        ct0_w * (v_iota == blank)
+        + ct1_w * (v_iota == loc_w.astype(jnp.int32))
+    )
+    buf[:] = dense
+    # rows [0, d): the PREVIOUS tile's values (read back above) must survive
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (8, V), 0)
+    buf[0:8, :] = jnp.where(j8 < d, head[:], dense[0:8])
 
     # the output has >= WS pad rows, so the static-size aligned store never
     # clamps; the next tile's write overwrites our overrun tail
     copy = pltpu.make_async_copy(
-        buf.at[0:WS, :], out_hbm.at[pl.ds(start8, WS), :], sem
+        buf, out_hbm.at[pl.ds(pl.multiple_of(start8, 8), WS), :], sem
     )
     copy.start()
     copy.wait()
@@ -177,6 +258,15 @@ def _host_meta(xn, yn, T, BT):
     return starts.reshape(-1), TT
 
 
+def _loc8(loc_rows, N, U):
+    """loc replicated across 8 sublanes: (N, 8, U).  The (1, 8, U) block is
+    Mosaic-legal for any U (minor dims (8, U) with U == the full array dim)
+    and arrives lane-oriented in the kernel."""
+    return jnp.broadcast_to(
+        loc_rows.astype(jnp.int32)[:, None, :], (N, 8, U)
+    )
+
+
 def packed_gather_padded(xs, loc_rows, xn, yn, blank: int, T: int, U: int,
                          interpret: bool | None = None):
     """packed (STU, V) + per-row loc -> (blank_col, emit_col) (N, T, U).
@@ -189,21 +279,34 @@ def packed_gather_padded(xs, loc_rows, xn, yn, blank: int, T: int, U: int,
         interpret = jax.default_backend() != "tpu"
     N = xn.shape[0]
     STU, V = xs.shape
-    # Mosaic DMA slices must cover whole 128-lane tiles: run the kernel at
-    # Vp = roundup(V, 128).  The host-side minor-dim pad is a bandwidth
-    # copy; unpadded V would instead force a full operand relayout at the
-    # pallas boundary (the known (R, smallV) layout hazard).
-    Vp = _round_up(V, 128)
-    BT = _choose_bt(T, U, Vp)
+    BT = _choose_bt(T, U, V)
     assert BT is not None, "movement kernel unsupported at this (T, U, V)"
     TT = -(-T // BT)
     starts, _ = _host_meta(xn, yn, T, BT)
 
+    # window rows: shift (< 8 away from the buffer end) + BT*stride valid
+    # rows, stride <= U
+    W = _round_up(BT * U + 16, 8)
+    # Mosaic DMA requires the copied minor extent be 128-lane aligned
+    # ("Slice shape along dimension 1 must be aligned to tiling (128)"):
+    # pad the vocab dim to Vp when it isn't.
+    Vp = _round_up(V, 128)
+    xs32 = xs.astype(jnp.float32)
+    need = max(W - STU, 0)
+    if interpret:
+        # XLA's dynamic_slice CLAMPS an out-of-bounds start, which would
+        # silently shift the tail window — pad the <8-row overread slack
+        # explicitly.  On TPU the (8,128)-tile-padded HBM allocation
+        # absorbs it (DMA reads whole tiles; verified by the tpu_check
+        # packed parity case with a misaligned STU).
+        need = max(need, _round_up(STU, 8) + 8 - STU)
+    if need or Vp != V:
+        xs32 = jnp.pad(xs32, ((0, need), (0, Vp - V)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(N, TT),
         in_specs=[
-            pl.BlockSpec((N, U), lambda n, t, *_: (0, 0),
+            pl.BlockSpec((1, 8, U), lambda n, t, *_: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -214,18 +317,14 @@ def packed_gather_padded(xs, loc_rows, xn, yn, blank: int, T: int, U: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_round_up(BT * U + U + 8, 8), Vp), jnp.float32),
-            pltpu.VMEM((BT * U, Vp), jnp.float32),
+            pltpu.VMEM((W, Vp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
-        _gather_kernel, blank=blank, BT=BT, U=U, V=Vp, T=T, STU=STU,
+        _gather_kernel, blank=blank, BT=BT, U=U, V=Vp, T=T,
+        STU=max(STU, W),  # cl_max >= 0 in the degenerate STU < W case
     )
-    # pad rows so the clamped read window always fits, and the vocab dim to
-    # the 128-lane tile
-    W = _round_up(BT * U + U + 8 + 8, 8)
-    xs_pad = jnp.pad(xs.astype(jnp.float32), ((0, W), (0, Vp - V)))
     TC = TT * BT
     blank_col, emit_col = pl.pallas_call(
         kernel,
@@ -237,7 +336,7 @@ def packed_gather_padded(xs, loc_rows, xn, yn, blank: int, T: int, U: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(starts, yn.astype(jnp.int32), xn.astype(jnp.int32),
-      loc_rows.astype(jnp.int32), xs_pad)
+      _loc8(loc_rows, N, U), xs32)
     return blank_col[:, :T], emit_col[:, :T]
 
 
@@ -251,8 +350,7 @@ def packed_scatter_grads(ct0, ct1, loc_rows, xn, yn, blank: int, STU: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, T, U = ct0.shape
-    Vp = _round_up(V, 128)
-    BT = _choose_bt(T, U, Vp)
+    BT = _choose_bt(T, U, V)
     assert BT is not None, "movement kernel unsupported at this (T, U, V)"
     TT = -(-T // BT)
     starts, _ = _host_meta(xn, yn, T, BT)
@@ -260,11 +358,13 @@ def packed_scatter_grads(ct0, ct1, loc_rows, xn, yn, blank: int, STU: int,
     ct0 = jnp.pad(ct0.astype(jnp.float32), ((0, 0), (0, TC - T), (0, 0)))
     ct1 = jnp.pad(ct1.astype(jnp.float32), ((0, 0), (0, TC - T), (0, 0)))
 
+    WS = _round_up(BT * U + 8, 8)
+    Vp = _round_up(V, 128)  # 128-lane DMA alignment (see packed_gather_padded)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(N, TT),
         in_specs=[
-            pl.BlockSpec((N, U), lambda n, t, *_: (0, 0),
+            pl.BlockSpec((1, 8, U), lambda n, t, *_: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT, U), lambda n, t, *_: (n, t, 0),
                          memory_space=pltpu.VMEM),
@@ -274,7 +374,8 @@ def packed_scatter_grads(ct0, ct1, loc_rows, xn, yn, blank: int, STU: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((_round_up(BT * U + 8, 8), Vp), jnp.float32),
+            pltpu.VMEM((WS, Vp), jnp.float32),
+            pltpu.VMEM((8, Vp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -283,7 +384,7 @@ def packed_scatter_grads(ct0, ct1, loc_rows, xn, yn, blank: int, STU: int,
     )
     # rows the tile sweep never reaches (bucketed pad buffers) must come
     # back exactly zero: the output aliases a zeros operand
-    PAD = _round_up(BT * U + 8, 8) + 8
+    PAD = WS + 8
     zeros = jnp.zeros((STU + PAD, Vp), jnp.float32)
     out = pl.pallas_call(
         kernel,
@@ -293,7 +394,7 @@ def packed_scatter_grads(ct0, ct1, loc_rows, xn, yn, blank: int, STU: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(starts, yn.astype(jnp.int32), xn.astype(jnp.int32),
-      loc_rows.astype(jnp.int32), ct0, ct1, zeros)
+      _loc8(loc_rows, N, U), ct0, ct1, zeros)
     return out[:STU, :V]
 
 
