@@ -197,3 +197,28 @@ def test_compact_under_jit_with_static_bounds():
         np.asarray(costs), golden.FORWARD_BATCH["expected_costs"],
         rtol=1e-4, atol=2e-5,
     )
+
+
+def test_movement_kernel_routing(monkeypatch):
+    """The Pallas movement kernel is auto-selected exactly in the small-V
+    (compare-mask) regime on TPU; large V keeps the XLA take_along_axis
+    composition (measured crossovers in scripts/exp_movement_isolation.py)."""
+    import jax as _jax
+
+    from warp_rnnt_tpu.functional import compact as compact_mod
+
+    # V-regime gate applies regardless of backend
+    assert not compact_mod._use_movement_kernel(5000)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert compact_mod._use_movement_kernel(28)
+    assert compact_mod._use_movement_kernel(3072)      # = 12 KiB fp32 rows
+    assert not compact_mod._use_movement_kernel(3073)  # first row past it
+    # bf16 rows are half the bytes: crossover doubles
+    import jax.numpy as _jnp
+
+    assert compact_mod._use_movement_kernel(6144, _jnp.bfloat16)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert not compact_mod._use_movement_kernel(28)
+    # the force hook (used by tests/benchmarks) overrides everything
+    monkeypatch.setattr(compact_mod, "_FORCE_KERNEL", True)
+    assert compact_mod._use_movement_kernel(5000)
