@@ -48,7 +48,17 @@ def _ref_lattice(a, c, w, b, labels, blank):
 
 
 @pytest.mark.parametrize("blank", [0, 3])
-@pytest.mark.parametrize("shape", [(2, 10, 5, 33, 16), (1, 17, 9, 40, 24)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 10, 5, 33, 16),
+        (1, 17, 9, 40, 24),
+        # U > 32: the label axis is never grid-blocked (whole-U tiling,
+        # see ops/fused_joint.py) — this pins its semantics at a size the
+        # hardware gate also covers (tpu_check large-U case)
+        (1, 41, 37, 29, 16),
+    ],
+)
 def test_lattice_forward_parity(shape, blank):
     """Kernel blank/emit/logZ == unfused composition, including non-divisible
     T/U (block-edge padding) and nonzero blank."""
