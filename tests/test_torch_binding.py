@@ -136,3 +136,88 @@ def test_reductions():
     np.testing.assert_allclose(
         float(m), float((c / xn.to(c)).mean()), rtol=1e-6
     )
+
+
+# ---- fused joint+loss front-end (beyond-reference capability) ---------------
+
+
+def _fused_setup(seed=0, N=2, T=9, U=4, F=12, H=16, V=25):
+    rng = np.random.RandomState(seed)
+    f = torch.tensor(rng.randn(N, T, F).astype(np.float32) * 0.3)
+    g = torch.tensor(rng.randn(N, U, F).astype(np.float32) * 0.3)
+    params = {
+        "w_pre": torch.tensor(rng.randn(F, H).astype(np.float32) * 0.2),
+        "b_pre": torch.tensor(rng.randn(H).astype(np.float32) * 0.1),
+        "w_out": torch.tensor(rng.randn(H, V).astype(np.float32) * 0.2),
+        "b_out": torch.tensor(rng.randn(V).astype(np.float32) * 0.1),
+    }
+    labels = torch.tensor(rng.randint(1, V, (N, U - 1)).astype(np.int32))
+    xn = torch.tensor(rng.randint(U, T + 1, size=N).astype(np.int32))
+    yn = torch.tensor(rng.randint(1, U, size=N).astype(np.int32))
+    return f, g, params, labels, xn, yn
+
+
+def test_fused_joint_bridge_exact_parity_with_jax():
+    """The torch front-end must be numerically IDENTICAL to the JAX fused
+    path (same computation through the bridge), costs and all six grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from warp_rnnt_tpu.bindings.torch_binding import rnnt_loss_fused_joint
+    from warp_rnnt_tpu.ops.fused_joint import (
+        rnnt_loss_fused_joint as jax_fused,
+    )
+
+    f, g, params, labels, xn, yn = _fused_setup()
+    for t in (f, g, *params.values()):
+        t.requires_grad_(True)
+
+    loss = rnnt_loss_fused_joint(
+        f, g, params, labels, xn, yn, reduction="mean", fastemit_lambda=0.01
+    )
+    loss.backward()
+
+    to_j = lambda t: jnp.asarray(t.detach().numpy())
+    jf, jg = to_j(f), to_j(g)
+    jp = {k: to_j(v) for k, v in params.items()}
+    jl = jnp.asarray(labels.numpy())
+    jxn, jyn = jnp.asarray(xn.numpy()), jnp.asarray(yn.numpy())
+
+    def jax_loss(jf, jg, jp):
+        return jax_fused(jf, jg, jp, jl, jxn, jyn, reduction="mean",
+                         fastemit_lambda=0.01)
+
+    jloss, (gjf, gjg, gjp) = jax.value_and_grad(jax_loss, argnums=(0, 1, 2))(
+        jf, jg, jp
+    )
+    np.testing.assert_allclose(float(loss), float(jloss), rtol=1e-6)
+    np.testing.assert_allclose(f.grad.numpy(), np.asarray(gjf), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(g.grad.numpy(), np.asarray(gjg), rtol=1e-6, atol=1e-7)
+    for k in params:
+        np.testing.assert_allclose(
+            params[k].grad.numpy(), np.asarray(gjp[k]), rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )
+
+
+def test_fused_joint_matches_torch_unfused_reference():
+    """Semantics: the fused op ~= torch-side tanh-joint -> log_softmax ->
+    padded rnnt_loss (loose tolerance: the kernel's V-matmul runs in bf16)."""
+    from warp_rnnt_tpu.bindings.torch_binding import (
+        rnnt_loss,
+        rnnt_loss_fused_joint,
+    )
+
+    f, g, params, labels, xn, yn = _fused_setup(seed=3)
+    costs_fused = rnnt_loss_fused_joint(f, g, params, labels, xn, yn)
+
+    h = torch.tanh(
+        (f @ params["w_pre"] + params["b_pre"]).unsqueeze(2)
+        + (g @ params["w_pre"]).unsqueeze(1)
+    )
+    log_probs = torch.log_softmax(h @ params["w_out"] + params["b_out"], -1)
+    costs_ref = rnnt_loss(log_probs.contiguous(), labels, xn, yn)
+    np.testing.assert_allclose(
+        costs_fused.detach().numpy(), costs_ref.detach().numpy(),
+        rtol=5e-3, atol=5e-3,
+    )

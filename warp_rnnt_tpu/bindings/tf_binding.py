@@ -157,6 +157,94 @@ def _graph_core_tpu(N: int, T: int, U: int, V: int, blank: int,
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _graph_fused(N: int, T: int, U: int, F: int, Fp: int, V: int, blank: int,
+                 fastemit_lambda: float, mode: str, tpu: bool):
+    """jax2tf conversion of the fused joint+loss op (all dims concrete — the
+    Pallas grid is shape-specialized).  tpu=True serializes the Mosaic
+    kernels for tpu only; tpu=False serializes the interpreter lowering for
+    cpu only.  `_fused_interpret_guard` forces the matching trace."""
+    from jax.experimental import jax2tf
+
+    from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint as _jf
+
+    def fn(f, g, w_pre, b_pre, w_out, b_out, labels, xn, yn):
+        params = dict(w_pre=w_pre, b_pre=b_pre, w_out=w_out, b_out=b_out)
+        return _jf(f, g, params, labels, xn, yn, reduction="none",
+                   blank=blank, fastemit_lambda=fastemit_lambda, mode=mode)
+
+    return jax2tf.convert(
+        fn,
+        with_gradient=True,
+        native_serialization_platforms=("tpu",) if tpu else ("cpu",),
+    )
+
+
+def rnnt_loss_fused_joint(
+    f,
+    g,
+    params: dict,
+    labels,
+    frames_lengths,
+    labels_lengths,
+    average_frames: bool = False,
+    reduction=None,
+    blank: int = 0,
+    fastemit_lambda: float = 0.0,
+    mode: str = "add",
+    tpu: bool | None = None,
+):
+    """Fused joint-projection + RNN-T loss for TF users (graph-native op).
+
+    f (N, T, F) encoder outputs, g (N, U, F') predictor outputs,
+    ``params = dict(w_pre, b_pre, w_out, b_out)`` as TF tensors/variables.
+    The (N, T, U, V) logits tensor is never materialized in either direction
+    (`warp_rnnt_tpu.ops.fused_joint`) — capability the reference cannot have
+    (it requires materialized log-probs, `README.md:59`).  Gradients flow to
+    f, g, and all four parameters through the staged StableHLO module.
+
+    tpu: None auto-selects from visible TF devices; True embeds the Mosaic
+    kernels (tpu-only artifact), False the interpreter lowering (cpu-only).
+    All dims must be static (one cached conversion per geometry, LRU 16).
+    """
+    assert reduction is None or reduction in ("none", "mean", "sum")
+    if tpu is None:
+        tpu = bool(tf.config.list_logical_devices("TPU"))
+    for ten, k in ((f, 3), (g, 3)):
+        if ten.shape.rank != k or None in ten.shape:
+            raise ValueError(
+                "rnnt_loss_fused_joint needs fully static f/g shapes"
+                f" (got {ten.shape})"
+            )
+    N, T, F = (int(d) for d in f.shape)
+    U = int(g.shape[1])
+    Fp = int(g.shape[2])
+    V = int(params["w_out"].shape[1])
+    core = _graph_fused(N, T, U, F, Fp, V, blank, float(fastemit_lambda),
+                        mode, bool(tpu))
+    from warp_rnnt_tpu.ops import fused_joint as _fj_mod
+
+    prev = _fj_mod._FORCE_INTERPRET
+    _fj_mod._FORCE_INTERPRET = not tpu
+    try:
+        costs = core(
+            f, g, params["w_pre"], params["b_pre"], params["w_out"],
+            params["b_out"], tf.cast(labels, tf.int32),
+            tf.cast(frames_lengths, tf.int32),
+            tf.cast(labels_lengths, tf.int32),
+        )
+    finally:
+        _fj_mod._FORCE_INTERPRET = prev
+    if average_frames:
+        costs = costs / tf.cast(frames_lengths, costs.dtype)
+    if reduction in (None, "none"):
+        return costs
+    if reduction == "sum":
+        return tf.reduce_sum(costs)
+    if reduction == "mean":
+        return tf.reduce_mean(costs)
+
+
 def transducer_loss_graph(log_probs, labels, frames_lengths, labels_lengths,
                           blank: int = 0, fastemit_lambda: float = 0.0,
                           platforms=None):

@@ -149,6 +149,101 @@ def rnnt_loss(
     )
 
 
+class _RNNTLossFusedJoint(torch.autograd.Function):
+    """Fused joint+loss autograd op (beyond-reference capability).
+
+    Unlike the padded/compact ops, the parameter gradients (d_w, d_b) are
+    batch-summed — not per-sample separable — so the reference's
+    grads-in-forward + multiply-in-backward contract cannot apply.  The
+    backward instead calls the JAX VJP with the true upstream cotangent
+    (residuals held by the vjp closure on ctx).
+    """
+
+    @staticmethod
+    def forward(ctx, f, g, w_pre, b_pre, w_out, b_out, labels,
+                frames_lengths, labels_lengths, blank, fastemit_lambda, mode):
+        import jax
+
+        from warp_rnnt_tpu.ops.fused_joint import (
+            rnnt_loss_fused_joint as _jax_fused,
+        )
+
+        to_j = lambda t: jnp.asarray(t.detach().numpy())
+        labels_j = jnp.asarray(labels.detach().numpy().astype(np.int32))
+        xn = jnp.asarray(frames_lengths.detach().numpy().astype(np.int32))
+        yn = jnp.asarray(labels_lengths.detach().numpy().astype(np.int32))
+
+        def fn(f_j, g_j, w_pre_j, b_pre_j, w_out_j, b_out_j):
+            params = dict(w_pre=w_pre_j, b_pre=b_pre_j,
+                          w_out=w_out_j, b_out=b_out_j)
+            return _jax_fused(
+                f_j, g_j, params, labels_j, xn, yn,
+                reduction="none", blank=blank,
+                fastemit_lambda=fastemit_lambda, mode=mode,
+            )
+
+        costs, vjp_fn = jax.vjp(
+            fn, to_j(f), to_j(g), to_j(w_pre), to_j(b_pre),
+            to_j(w_out), to_j(b_out),
+        )
+        ctx.vjp_fn = vjp_fn
+        return torch.from_numpy(np.asarray(costs))
+
+    @staticmethod
+    def backward(ctx, grads_output):
+        ct = jnp.asarray(grads_output.detach().numpy().astype(np.float32))
+        grads = ctx.vjp_fn(ct)
+        out = tuple(torch.from_numpy(np.asarray(gr, np.float32)) for gr in grads)
+        return out + (None, None, None, None, None, None)
+
+
+def rnnt_loss_fused_joint(
+    f: torch.Tensor,
+    g: torch.Tensor,
+    params: dict,
+    labels: torch.Tensor,
+    frames_lengths: torch.Tensor,
+    labels_lengths: torch.Tensor,
+    average_frames: bool = False,
+    reduction: Optional[str] = "none",
+    blank: int = 0,
+    fastemit_lambda: float = 0.0,
+    mode: str = "add",
+) -> torch.Tensor:
+    """Fused joint-projection + RNN-T loss for torch users.
+
+    f (N, T, F) encoder outputs, g (N, U, F') predictor outputs,
+    ``params = dict(w_pre, b_pre, w_out, b_out)`` — the Tanh-MLP joint's
+    weights as torch tensors.  The (N, T, U, V) logits tensor is never
+    materialized in either direction (see `warp_rnnt_tpu.ops.fused_joint`);
+    the reference architecture cannot offer this — it requires materialized
+    log-probs (`README.md:59`).  Gradients flow to f, g, and all four
+    parameter tensors.
+    """
+    assert reduction is None or reduction in ("none", "mean", "sum")
+    assert not labels.requires_grad, "labels does not require gradients"
+    assert not frames_lengths.requires_grad, "frames_lengths does not require gradients"
+    assert not labels_lengths.requires_grad, "labels_lengths does not require gradients"
+
+    costs = _RNNTLossFusedJoint.apply(
+        f, g, params["w_pre"], params["b_pre"], params["w_out"],
+        params["b_out"], labels, frames_lengths, labels_lengths,
+        blank, fastemit_lambda, mode,
+    )
+    if average_frames:
+        costs = costs / frames_lengths.to(costs)
+    if reduction in (None, "none"):
+        return costs
+    if reduction == "sum":
+        return costs.sum()
+    if reduction == "mean":
+        return costs.mean()
+    raise ValueError(
+        f"Unknown reduction method: {reduction}, expected to be one of"
+        " ['mean', 'sum', 'none']"
+    )
+
+
 class _RNNTLossCompact(torch.autograd.Function):
     @staticmethod
     def forward(ctx, log_probs, labels, frames_lengths, labels_lengths,

@@ -173,7 +173,17 @@ def _bwd_kernel(xn_ref, yn_ref, a_ref, c_ref, w_ref, b_ref, lab_ref, logz_ref,
         dbias_ref[0] += jnp.sum(dz, axis=0)
 
 
+# Trace-time override for cross-platform lowering (jax2tf): None = decide
+# from the runtime backend; True/False force the Pallas interpreter / Mosaic.
+# Single-platform serialization (tf_binding._graph_fused) sets this so a
+# conversion targeting tpu embeds the real kernel even when traced on a cpu
+# host, mirroring functional/core.py's `impl="platform"` dispatch.
+_FORCE_INTERPRET: bool | None = None
+
+
 def _interpret():
+    if _FORCE_INTERPRET is not None:
+        return _FORCE_INTERPRET
     return jax.default_backend() != "tpu"
 
 
