@@ -191,3 +191,90 @@ def test_terminal_blank_rows_accumulate_grads():
     mask = np.ones(dxs.shape[-1], bool)
     mask[3] = False
     np.testing.assert_allclose(np.asarray(dxs[..., mask]), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flat-layout grad writer (ops/flat_kernels.py) — the >4 GiB VJP
+
+
+def _flat_reference(ct, loc_rows, blank, V, N, T, U):
+    """NumPy oracle: dense compare-select in 4D, flattened."""
+    ct = np.asarray(ct, np.float32)
+    loc = np.broadcast_to(np.asarray(loc_rows)[:, None, :], (N, T, U))
+    v_iota = np.arange(V).reshape(1, 1, 1, V)
+    d4 = ct[..., 0:1] * (v_iota == blank) + ct[..., 1:2] * (
+        v_iota == loc[..., None]
+    )
+    return d4.reshape(N, T, U * V)
+
+
+@pytest.mark.parametrize("V,blank", [(160, 0), (160, 7), (3000, 2999), (128, 0)])
+def test_flat_grad_write_kernel_matches_oracle(V, blank):
+    """Interpret-mode kernel vs the NumPy oracle: BJ=128-class blocks
+    straddle u boundaries (V=160), tail blocks are masked (UV % BJ != 0),
+    T is not a sublane multiple."""
+    from warp_rnnt_tpu.ops import flat_kernels
+
+    rng = np.random.RandomState(5)
+    N, T, U = 2, 11, 3
+    ct0 = jnp.asarray(rng.randn(N, T, U).astype(np.float32))
+    ct1 = jnp.asarray(rng.randn(N, T, U).astype(np.float32))
+    loc_rows = rng.randint(0, V, size=(N, U)).astype(np.int32)
+    loc_rows[:, -1] = blank  # terminal rows accumulate both channels
+    got = flat_kernels.flat_grad_write(
+        ct0, ct1, jnp.asarray(loc_rows), blank, V, U * V, interpret=True
+    )
+    ct = np.stack([np.asarray(ct0), np.asarray(ct1)], axis=-1)
+    want = _flat_reference(ct, loc_rows, blank, V, N, T, U)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
+
+
+def test_flat_grad_write_bf16_output():
+    from warp_rnnt_tpu.ops import flat_kernels
+
+    rng = np.random.RandomState(6)
+    N, T, U, V = 2, 5, 3, 256
+    ct0 = jnp.asarray(rng.randn(N, T, U).astype(np.float32))
+    ct1 = jnp.asarray(rng.randn(N, T, U).astype(np.float32))
+    loc_rows = jnp.asarray(rng.randint(0, V, size=(N, U)).astype(np.int32))
+    got = flat_kernels.flat_grad_write(
+        ct0, ct1, loc_rows, 0, V, U * V, out_dtype=jnp.bfloat16,
+        interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    ct = np.stack([np.asarray(ct0), np.asarray(ct1)], axis=-1)
+    want = _flat_reference(ct, np.asarray(loc_rows), 0, V, N, T, U)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want, rtol=8e-3, atol=1e-3
+    )
+
+
+def test_flat_vjp_routes_through_kernel(monkeypatch):
+    """gather_blank_label_flat's grad with the kernel forced equals the XLA
+    fallback path, through jit."""
+    xs, loc = _make(V=200, blank=0)
+    N, T, U, V = 3, 7, 5, 200
+    xs3 = xs.reshape(N, T, U * V)
+
+    def g(x):
+        return jax.grad(
+            lambda z: jnp.sum(
+                gather.gather_blank_label_flat(z, loc, 0, V) ** 2
+            )
+        )(x)
+
+    monkeypatch.setattr(gather, "_FORCE_FLAT_KERNEL", False)
+    want = g(xs3)
+    monkeypatch.setattr(gather, "_FORCE_FLAT_KERNEL", True)
+    got = jax.jit(g)(xs3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_flat_write_supported_gate():
+    from warp_rnnt_tpu.ops import flat_kernels
+
+    assert not flat_kernels.flat_write_supported(100)  # < 128 lanes
+    assert flat_kernels.flat_write_supported(128)
+    assert flat_kernels.flat_write_supported(5000)

@@ -126,8 +126,14 @@ def gather_blank_label_flat(xs3, loc, blank: int, V: int):
     (the public `rnnt_loss` accepts 3D log_probs and routes here).
 
     The VJP is the same dense compare-select write as `gather_blank_label`,
-    emitted directly in flat layout (the logical (N, T, U, V) expression is
-    reshaped inside the fusion — no relayout).
+    emitted directly in flat coordinates by a Pallas kernel on TPU
+    (`ops/flat_kernels.flat_grad_write`) — expressing it over the logical
+    4D view and reshaping forces a relayout copy of the full operand
+    (measured +46 ms on the 7.5 GB N=128, V=5000 row).
+
+    Contract: ``loc`` must be frame-invariant (loc[:, t] identical for all
+    t — the production index construction broadcasts per-sample labels over
+    t); the flat VJP exploits this and keeps only loc[:, 0] as residual.
     """
     blank3, lab3 = _flat3d_indices(loc, blank, V)
     blank_col = jnp.take_along_axis(xs3, blank3, axis=-1)
@@ -135,16 +141,38 @@ def gather_blank_label_flat(xs3, loc, blank: int, V: int):
     return jnp.stack([blank_col, label_col], axis=-1)
 
 
+# Flat-VJP backend: None = auto (Pallas flat writer on TPU), tests force it.
+_FORCE_FLAT_KERNEL = None
+
+
 def _gather_flat_fwd(xs3, loc, blank, V):
     dtype_tag = jnp.zeros((0,), xs3.dtype)
-    return gather_blank_label_flat(xs3, loc, blank, V), (loc, dtype_tag)
+    T = loc.shape[1]
+    # loc is frame-invariant by contract (see gather_blank_label_flat)
+    return gather_blank_label_flat(xs3, loc, blank, V), (loc[:, 0, :], T,
+                                                         dtype_tag)
 
 
 def _gather_flat_bwd(blank, V, res, ct):
-    loc, dtype_tag = res
-    N, T, U = loc.shape
+    from warp_rnnt_tpu.ops import flat_kernels
+
+    loc_rows, T, dtype_tag = res
+    N, U = loc_rows.shape
+    use_kernel = _FORCE_FLAT_KERNEL
+    if use_kernel is None:
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and flat_kernels.flat_write_supported(V)
+        )
+    if use_kernel:
+        d3 = flat_kernels.flat_grad_write(
+            ct[..., 0], ct[..., 1], loc_rows, blank, V, U * V,
+            out_dtype=dtype_tag.dtype,
+        )
+        return d3, None
     v_iota = jnp.arange(V, dtype=jnp.int32).reshape(1, 1, 1, V)
     ct = ct.astype(jnp.float32)
+    loc = jnp.broadcast_to(loc_rows[:, None, :], (N, T, U))
     d4 = ct[..., 0:1] * (v_iota == blank) + ct[..., 1:2] * (
         v_iota == loc[..., None]
     )
