@@ -352,28 +352,73 @@ def test_fused_joint_graph_op_matches_jax():
 
 def test_fused_joint_tpu_serialization_embeds_mosaic():
     """tpu=True must produce a tpu-only module embedding the Mosaic custom
-    call even when converted on a cpu host (the `_FORCE_INTERPRET` guard)."""
+    call even when converted on a cpu host (the static ``interpret``
+    argument, threaded through instead of any module-global flip)."""
     from jax.experimental import jax2tf  # noqa: F401  (skip if unavailable)
 
     from warp_rnnt_tpu.ops import fused_joint as fj
     import jax
 
-    prev = fj._FORCE_INTERPRET
-    fj._FORCE_INTERPRET = False
-    try:
-        ex = jax.export.export(
+    ex = jax.export.export(
+        jax.jit(
+            lambda a, c, w, b, lab, xn, yn: fj.fused_joint_core(
+                a, c, w, b, lab, xn, yn, 0, 0.0, "scan", False
+            )
+        ),
+        platforms=("tpu",),
+    )(
+        np.zeros((1, 8, 16), np.float32), np.zeros((1, 3, 16), np.float32),
+        np.zeros((16, 21), np.float32), np.zeros((21,), np.float32),
+        np.zeros((1, 2), np.int32), np.full((1,), 8, np.int32),
+        np.full((1,), 2, np.int32),
+    )
+    assert "tpu_custom_call" in ex.mlir_module()
+
+
+def test_fused_joint_concurrent_conversions_are_isolated():
+    """A cpu-targeted and a tpu-targeted fused conversion traced
+    interleaved from separate threads must not bleed into each other (the
+    round-3 implementation flipped `fused_joint._FORCE_INTERPRET` around
+    tracing; now the choice is a static argument, keyed into the conversion
+    cache).  The tpu artifact embeds Mosaic; the cpu one both lacks it and
+    still executes correctly."""
+    import concurrent.futures as cf
+
+    import jax
+
+    from warp_rnnt_tpu.ops import fused_joint as fj
+
+    args = (
+        np.random.RandomState(0).randn(1, 8, 16).astype(np.float32),
+        np.random.RandomState(1).randn(1, 3, 16).astype(np.float32),
+        np.random.RandomState(2).randn(16, 21).astype(np.float32) * 0.1,
+        np.zeros((21,), np.float32),
+        np.random.RandomState(3).randint(1, 21, (1, 2)).astype(np.int32),
+        np.full((1,), 8, np.int32),
+        np.full((1,), 2, np.int32),
+    )
+
+    def export_for(platform):
+        interp = platform != "tpu"
+        return jax.export.export(
             jax.jit(
                 lambda a, c, w, b, lab, xn, yn: fj.fused_joint_core(
-                    a, c, w, b, lab, xn, yn, 0, 0.0, "scan"
+                    a, c, w, b, lab, xn, yn, 0, 0.0, "scan", interp
                 )
             ),
-            platforms=("tpu",),
-        )(
-            np.zeros((1, 8, 16), np.float32), np.zeros((1, 3, 16), np.float32),
-            np.zeros((16, 21), np.float32), np.zeros((21,), np.float32),
-            np.zeros((1, 2), np.int32), np.full((1,), 8, np.int32),
-            np.full((1,), 2, np.int32),
-        )
+            platforms=(platform,),
+        )(*args)
+
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(export_for, p)
+                for p in ("cpu", "tpu", "cpu", "tpu")]
+        ex_cpu, ex_tpu, ex_cpu2, ex_tpu2 = [f.result() for f in futs]
+    for ex in (ex_tpu, ex_tpu2):
         assert "tpu_custom_call" in ex.mlir_module()
-    finally:
-        fj._FORCE_INTERPRET = prev
+    for ex in (ex_cpu, ex_cpu2):
+        assert "tpu_custom_call" not in ex.mlir_module()
+    # the cpu artifact runs and agrees with a direct evaluation
+    want = fj.fused_joint_core(*args)
+    got = ex_cpu.call(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

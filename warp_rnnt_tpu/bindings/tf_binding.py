@@ -163,7 +163,10 @@ def _graph_fused(N: int, T: int, U: int, F: int, Fp: int, V: int, blank: int,
     """jax2tf conversion of the fused joint+loss op (all dims concrete — the
     Pallas grid is shape-specialized).  tpu=True serializes the Mosaic
     kernels for tpu only; tpu=False serializes the interpreter lowering for
-    cpu only.  `_fused_interpret_guard` forces the matching trace."""
+    cpu only.  The choice is threaded through as the op's static
+    ``interpret`` argument (part of this cache's key), so nothing global is
+    touched at trace time and concurrent conversions are safe.  The DP core
+    uses the lowering-time `impl="platform"` dispatch for the same reason."""
     from jax.experimental import jax2tf
 
     from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint as _jf
@@ -171,7 +174,8 @@ def _graph_fused(N: int, T: int, U: int, F: int, Fp: int, V: int, blank: int,
     def fn(f, g, w_pre, b_pre, w_out, b_out, labels, xn, yn):
         params = dict(w_pre=w_pre, b_pre=b_pre, w_out=w_out, b_out=b_out)
         return _jf(f, g, params, labels, xn, yn, reduction="none",
-                   blank=blank, fastemit_lambda=fastemit_lambda, mode=mode)
+                   blank=blank, fastemit_lambda=fastemit_lambda, mode=mode,
+                   impl="platform", interpret=not tpu)
 
     return jax2tf.convert(
         fn,
@@ -222,19 +226,12 @@ def rnnt_loss_fused_joint(
     V = int(params["w_out"].shape[1])
     core = _graph_fused(N, T, U, F, Fp, V, blank, float(fastemit_lambda),
                         mode, bool(tpu))
-    from warp_rnnt_tpu.ops import fused_joint as _fj_mod
-
-    prev = _fj_mod._FORCE_INTERPRET
-    _fj_mod._FORCE_INTERPRET = not tpu
-    try:
-        costs = core(
-            f, g, params["w_pre"], params["b_pre"], params["w_out"],
-            params["b_out"], tf.cast(labels, tf.int32),
-            tf.cast(frames_lengths, tf.int32),
-            tf.cast(labels_lengths, tf.int32),
-        )
-    finally:
-        _fj_mod._FORCE_INTERPRET = prev
+    costs = core(
+        f, g, params["w_pre"], params["b_pre"], params["w_out"],
+        params["b_out"], tf.cast(labels, tf.int32),
+        tf.cast(frames_lengths, tf.int32),
+        tf.cast(labels_lengths, tf.int32),
+    )
     if average_frames:
         costs = costs / tf.cast(frames_lengths, costs.dtype)
     if reduction in (None, "none"):

@@ -674,42 +674,51 @@ def _labels_ext(labels, blank, N):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_joint_core(a, c, w, b, labels, xn, yn, blank=0,
-                     fastemit_lambda=0.0, impl="auto"):
+                     fastemit_lambda=0.0, impl="auto", interpret=None):
     """Per-sample RNN-T costs straight from the projected joint halves.
 
     a (N, T, H), c (N, U, H) fp32; w (H, V), b (V,); labels (N, U-1) int32.
     Differentiable w.r.t. (a, c, w, b); the (N, T, U, V) logits tensor is
     never materialized (forward or backward).
+
+    interpret: static; None = decide from the runtime backend, True/False
+    force the Pallas interpreter / Mosaic lowering.  Cross-platform callers
+    (jax2tf single-platform serialization, `bindings/tf_binding.py`) pass it
+    explicitly so a conversion targeting tpu embeds the real kernels even
+    when traced on a cpu host.
     """
     from warp_rnnt_tpu.functional.core import _costs_only
 
     N = a.shape[0]
     lab = _labels_ext(labels, blank, N)
-    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, xn, yn, blank)
+    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, xn, yn, blank,
+                                   interpret=interpret)
     return _costs_only(bl - lz, el - lz, xn, yn, impl)
 
 
-def _fj_fwd(a, c, w, b, labels, xn, yn, blank, fastemit_lambda, impl):
+def _fj_fwd(a, c, w, b, labels, xn, yn, blank, fastemit_lambda, impl,
+            interpret):
     from warp_rnnt_tpu.functional.core import _forward_backward
 
     N = a.shape[0]
     lab = _labels_ext(labels, blank, N)
-    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, xn, yn, blank)
+    bl, el, lz = joint_lattice_fwd(a, c, w, b, lab, xn, yn, blank,
+                                   interpret=interpret)
     costs, g_blank, g_emit, _, _ = _forward_backward(
         bl - lz, el - lz, xn, yn, fastemit_lambda, impl
     )
     return costs, (a, c, w, b, lab, xn, yn, lz, g_blank, g_emit)
 
 
-def _fj_bwd(blank, fastemit_lambda, impl, res, ct):
+def _fj_bwd(blank, fastemit_lambda, impl, interpret, res, ct):
     a, c, w, b, lab, xn, yn, lz, g_blank, g_emit = res
     ctb = ct[:, None, None].astype(jnp.float32)
     db = ctb * g_blank
     de = ctb * g_emit
     da, dc, dw, dbias = joint_lattice_bwd(
-        a, c, w, b, lab, xn, yn, lz, db, de, blank
+        a, c, w, b, lab, xn, yn, lz, db, de, blank, interpret=interpret
     )
     return (da.astype(a.dtype), dc.astype(c.dtype), dw.astype(w.dtype),
             dbias.astype(b.dtype), None, None, None)
@@ -722,6 +731,7 @@ def rnnt_loss_fused_joint(
     f, g, params, labels, frames_lengths, labels_lengths,
     average_frames: bool = False, reduction=None, blank: int = 0,
     fastemit_lambda: float = 0.0, impl: str = "auto", mode: str = "add",
+    interpret: bool | None = None,
 ):
     """End-to-end fused joint + RNN-T loss.
 
@@ -763,7 +773,8 @@ def rnnt_loss_fused_joint(
     # V-grid-blocked kernels inside joint_lattice_fwd/bwd (_select_bv) —
     # the logits tensor never exists in HBM at ANY vocabulary size.
     costs = fused_joint_core(
-        a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl
+        a, c, w_out, b_out, labels, xn, yn, blank, fastemit_lambda, impl,
+        interpret,
     )
     if average_frames:
         costs = costs / xn.astype(costs.dtype)
