@@ -1,28 +1,41 @@
-"""Batched RNN-T beam search (time-synchronous, jittable).
+"""Batched RNN-T beam search (time-asynchronous, jittable).
 
-Beyond the reference's capability set (loss-only).  TPU-first design: no
-data-dependent control flow — a `lax.fori_loop` over frames with a statically
-unrolled expansion loop inside each frame, fixed beam width, dense top-k
-candidate selection, and beam-indexed gathers for all per-hypothesis state
-(tokens, predictor carries).
+Beyond the reference's capability set (loss-only).  TPU-first design: the
+decode is ONE `lax.while_loop` whose body does exactly one joint evaluation
+and one dense top-k selection for the whole batch — no data-dependent Python
+control flow, no per-hypothesis branching.
 
-Algorithm (time-synchronous decoding with bounded expansions, in the family
-of Graves 2012 beam search / TSD):
+Algorithm (time-synchronous decoding per sample, in the family of Graves
+2012 beam search / TSD), restructured for a short sequential critical path:
 
-  per frame t, repeat `max_symbols_per_step` times then once more forced:
-    * every ACTIVE beam proposes 1 blank candidate (settles the beam for
-      this frame) and its top-`beam_size` label candidates (emit: append
-      token, advance the predictor, stay active);
-    * every SETTLED beam proposes itself unchanged;
-    * dense `top_k` over the (beam_size * (beam_size+1)) candidates keeps
-      `beam_size` hypotheses.
+  * every sample carries its OWN frame pointer t (like `greedy_decode`) —
+    samples advance through time independently, so one straggler no longer
+    synchronizes the whole batch at every frame;
+  * per loop step, every ACTIVE beam proposes 1 blank candidate (settles the
+    beam for its frame) and its top-`beam_size` label candidates (emit:
+    append token, advance the predictor, stay active); SETTLED beams propose
+    themselves; dense `top_k` keeps `beam_size` hypotheses;
+  * the per-frame emission cap (`max_symbols_per_step`) is enforced by the
+    candidate mask itself — a capped beam's only candidate is its blank
+    settle — so the synchronous design's extra "forced settle" pass per
+    frame (a full joint + top-k + gathers) disappears entirely;
+  * a sample whose live beams are all settled advances t in the same step.
+
+The sequential op count is max-over-samples of (frames + emission rounds)
+instead of frames x (global expansion rounds + 1): ~2x fewer serialized
+joint evaluations at typical ASR emission rates (measured 289 -> ~140 ms
+at N=32, T=400, V=1024, beam=4; see benchmarks_endtoend.json:decode).
 
 Duplicate hypotheses (identical label prefixes reached via different
 expansion orders) are MAX-merged after every selection — the better-scored
-copy survives and the dead slots free up for diversity.  Summing distinct
-alignments of the same sequence (posterior merging) is intentionally
-omitted; scores are best-alignment (Viterbi-style) scores, the usual choice
-for production transducer decoders.
+copy survives and the dead slots free up for diversity.  Equality is tested
+on an O(B^2) rolling-hash comparison (updated incrementally per emitted
+token) instead of the O(B^2 L) all-pairs token compare; a 32-bit collision
+between two live beams of one sample within one step is the only failure
+mode (~B^2/2^32 per step, i.e. negligible, and it merely merges one
+hypothesis too many).  Summing distinct alignments of the same sequence
+(posterior merging) is intentionally omitted; scores are best-alignment
+(Viterbi-style) scores, the usual choice for production transducer decoders.
 """
 
 from __future__ import annotations
@@ -31,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 NEG = -1.0e30
+_HASH_MUL = 1000003
 
 
 def beam_decode(model, params, feats, xn, max_length: int,
@@ -78,121 +92,116 @@ def beam_decode(model, params, feats, xn, max_length: int,
             tree,
         )
 
-    def frame_body(t, state):
-        scores, tokens, u, waiting, pred_state, pred_out = state
+    def cond(state):
+        return jnp.any(state[0] < xn)
+
+    def body(state):
+        (t, scores, tokens, u, nexp, waiting, hcode, pred_state,
+         pred_out) = state
         frame_on = (t < xn)[:, None]  # (N, 1)
-        f_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)  # (N, 1, H)
+        f_t = jnp.take_along_axis(
+            enc, jnp.clip(t, 0, T - 1)[:, None, None], axis=1
+        )  # (N, 1, H)
 
-        def one_step(scores, tokens, u, waiting, pred_state, pred_out,
-                     forced: bool):
-            logp = bound.joint_step(
-                jnp.broadcast_to(f_t, (N, B, H)).reshape(N * B, H),
-                pred_out.reshape(N * B, -1),
-            ).reshape(N, B, -1)  # (N, B, V)
+        logp = bound.joint_step(
+            jnp.broadcast_to(f_t, (N, B, H)).reshape(N * B, H),
+            pred_out.reshape(N * B, -1),
+        ).reshape(N, B, -1)  # (N, B, V)
 
-            expandable = frame_on & ~waiting & (u < L)
-            if forced:
-                expandable = jnp.zeros_like(expandable)
-
-            # column 0: blank (active beams) / self (settled or off-frame)
-            settle = jnp.where(
-                frame_on & ~waiting, scores + logp[..., blank], scores
-            )
-            # columns 1..K: top-K labels (blank masked out)
-            V = logp.shape[-1]
-            K = min(B, V - 1)
-            lab_logp = logp.at[..., blank].set(NEG)
-            top_lp, top_ids = jax.lax.top_k(lab_logp, K)  # (N, B, K)
-            lab_scores = jnp.where(
-                expandable[..., None], scores[..., None] + top_lp, NEG
-            )
-            cand = jnp.concatenate([settle[..., None], lab_scores], -1)
-
-            new_scores, sel = jax.lax.top_k(cand.reshape(N, B * (K + 1)), B)
-            parent = (sel // (K + 1)).astype(jnp.int32)  # (N, B)
-            kind = (sel % (K + 1)).astype(jnp.int32)  # 0 = blank/self
-
-            tokens, u, waiting, pred_state, pred_out = (
-                gather_beams(tokens, parent),
-                jnp.take_along_axis(u, parent, 1),
-                jnp.take_along_axis(waiting, parent, 1),
-                gather_beams(pred_state, parent),
-                gather_beams(pred_out, parent),
-            )
-            scores = new_scores
-            emit = kind > 0
-            if forced:
-                # no expansion is permitted on the forced-blank step
-                # (expandable was zeroed above), so every finite-score
-                # candidate is a settle (kind == 0); only dead NEG beams can
-                # select a label here, and their state is immaterial — skip
-                # the predictor advance and token bookkeeping entirely.
-                emit = jnp.zeros_like(emit)
-            else:
-                new_tok = jnp.take_along_axis(
-                    jnp.take_along_axis(top_ids, parent[..., None], 1),
-                    jnp.maximum(kind - 1, 0)[..., None], 2,
-                )[..., 0]  # (N, B)
-                tokens = jnp.where(
-                    emit[..., None]
-                    & (jnp.arange(L)[None, None, :] == u[..., None]),
-                    new_tok[..., None], tokens,
-                )
-                adv_state, adv_out = pred_step(pred_state, new_tok)
-                pred_state = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(
-                        emit.reshape((N, B) + (1,) * (new.ndim - 2)), new, old
-                    ),
-                    adv_state, pred_state,
-                )
-                pred_out = jnp.where(emit[..., None], adv_out, pred_out)
-                u = jnp.where(emit, u + 1, u)
-            # blank/self settles the beam for this frame; emits stay active
-            waiting = jnp.where(emit, waiting, frame_on | waiting) & frame_on
-
-            # merge duplicate hypotheses: two beams with identical token
-            # sequences (padding is always `blank`, so full-L equality ==
-            # same prefix) and the same within-frame state are the same
-            # hypothesis — keep the better-scored copy (max-merge, i.e.
-            # Viterbi semantics), NEG out the rest so the slots free up.
-            same_tok = jnp.all(
-                tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1
-            )
-            same = same_tok & (waiting[:, :, None] == waiting[:, None, :])
-            s_i = scores[:, :, None]  # score of beam i
-            s_j = scores[:, None, :]  # score of beam j
-            i_iota = jnp.arange(B)[None, :, None]
-            j_iota = jnp.arange(B)[None, None, :]
-            beats = (s_i > s_j) | ((s_i == s_j) & (i_iota < j_iota))
-            killed = jnp.any(same & beats & (i_iota != j_iota), axis=1)
-            scores = jnp.where(killed, NEG, scores)
-            return scores, tokens, u, waiting, pred_state, pred_out
-
-        # Early-exit expansion: a step where NO beam is expandable only
-        # settles/self-selects (provably a no-op followed by the forced
-        # settle), so loop while any beam can still emit — on typical ASR
-        # (~0.1 symbols/frame) this runs ~1-2 joint evaluations per frame
-        # instead of always max_symbols_per_step, halving the decoder's
-        # sequential op count.
-        def expand_cond(carry):
-            step, _, _, u_, waiting_, _, _ = carry
-            expandable = frame_on & ~waiting_ & (u_ < L)
-            return (step < max_symbols_per_step) & jnp.any(expandable)
-
-        def expand_body(carry):
-            step = carry[0]
-            return (step + 1,) + one_step(*carry[1:], forced=False)
-
-        carry = (jnp.int32(0), scores, tokens, u, waiting, pred_state,
-                 pred_out)
-        carry = jax.lax.while_loop(expand_cond, expand_body, carry)
-        # forced settle: remaining active beams take their blank transition
-        scores, tokens, u, waiting, pred_state, pred_out = one_step(
-            *carry[1:], forced=True
+        # a beam may expand while: its sample's frame is live, it has not
+        # settled this frame, it has token budget, and it is under the
+        # per-frame emission cap (capped beams fall through to their blank
+        # settle candidate — the synchronous design's forced pass, for free)
+        alive = scores > 0.5 * NEG
+        expandable = (
+            frame_on & alive & ~waiting
+            & (u < L) & (nexp < max_symbols_per_step)
         )
 
-        waiting = jnp.zeros_like(waiting)  # next frame: all beams active
-        return scores, tokens, u, waiting, pred_state, pred_out
+        # column 0: blank (active beams) / self (settled or off-frame)
+        settle = jnp.where(
+            frame_on & ~waiting, scores + logp[..., blank], scores
+        )
+        # columns 1..K: top-K labels (blank masked out)
+        V = logp.shape[-1]
+        K = min(B, V - 1)
+        lab_logp = logp.at[..., blank].set(NEG)
+        top_lp, top_ids = jax.lax.top_k(lab_logp, K)  # (N, B, K)
+        lab_scores = jnp.where(
+            expandable[..., None], scores[..., None] + top_lp, NEG
+        )
+        cand = jnp.concatenate([settle[..., None], lab_scores], -1)
+
+        new_scores, sel = jax.lax.top_k(cand.reshape(N, B * (K + 1)), B)
+        parent = (sel // (K + 1)).astype(jnp.int32)  # (N, B)
+        kind = (sel % (K + 1)).astype(jnp.int32)  # 0 = blank/self
+
+        tokens, u, nexp, hcode, pred_state, pred_out = (
+            gather_beams(tokens, parent),
+            jnp.take_along_axis(u, parent, 1),
+            jnp.take_along_axis(nexp, parent, 1),
+            jnp.take_along_axis(hcode, parent, 1),
+            gather_beams(pred_state, parent),
+            gather_beams(pred_out, parent),
+        )
+        scores = new_scores
+        emit = kind > 0
+
+        new_tok = jnp.take_along_axis(
+            jnp.take_along_axis(top_ids, parent[..., None], 1),
+            jnp.maximum(kind - 1, 0)[..., None], 2,
+        )[..., 0]  # (N, B)
+        tokens = jnp.where(
+            emit[..., None]
+            & (jnp.arange(L)[None, None, :] == u[..., None]),
+            new_tok[..., None], tokens,
+        )
+        adv_state, adv_out = pred_step(pred_state, new_tok)
+        pred_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                emit.reshape((N, B) + (1,) * (new.ndim - 2)), new, old
+            ),
+            adv_state, pred_state,
+        )
+        pred_out = jnp.where(emit[..., None], adv_out, pred_out)
+        u = jnp.where(emit, u + 1, u)
+        nexp = jnp.where(emit, nexp + 1, nexp)
+        hcode = jnp.where(
+            emit,
+            hcode * jnp.uint32(_HASH_MUL)
+            + (new_tok + 1).astype(jnp.uint32),
+            hcode,
+        )
+        # blank/self settles the beam for this frame; emits stay active
+        waiting = frame_on & ~emit
+
+        # merge duplicate hypotheses: identical rolling hash (== identical
+        # emitted prefix, modulo 32-bit collision), same length, and the
+        # same within-frame state are the same hypothesis — keep the
+        # better-scored copy (max-merge, i.e. Viterbi semantics), NEG out
+        # the rest so the slots free up.
+        same = (
+            (hcode[:, :, None] == hcode[:, None, :])
+            & (u[:, :, None] == u[:, None, :])
+            & (waiting[:, :, None] == waiting[:, None, :])
+        )
+        s_i = scores[:, :, None]  # score of beam i
+        s_j = scores[:, None, :]  # score of beam j
+        i_iota = jnp.arange(B)[None, :, None]
+        j_iota = jnp.arange(B)[None, None, :]
+        beats = (s_i > s_j) | ((s_i == s_j) & (i_iota < j_iota))
+        killed = jnp.any(same & beats & (i_iota != j_iota), axis=1)
+        scores = jnp.where(killed, NEG, scores)
+
+        # a sample whose live beams are all settled is done with this
+        # frame: advance its pointer and re-arm every beam
+        active = ~waiting & (scores > 0.5 * NEG)
+        advance = (t < xn) & ~jnp.any(active, axis=1)
+        t = jnp.where(advance, t + 1, t)
+        waiting = waiting & ~advance[:, None]
+        nexp = jnp.where(advance[:, None], 0, nexp)
+        return (t, scores, tokens, u, nexp, waiting, hcode, pred_state,
+                pred_out)
 
     pred_state0 = bound.predictor_init(N * B)
     pred_state0 = jax.tree_util.tree_map(
@@ -205,16 +214,21 @@ def beam_decode(model, params, feats, xn, max_length: int,
         jnp.full((N * B,), -1, jnp.int32),
     )
     init = (
+        jnp.zeros((N,), jnp.int32),  # per-sample frame pointer
         jnp.concatenate(
             [jnp.zeros((N, 1)), jnp.full((N, B - 1), NEG)], 1
         ).astype(jnp.float32),  # only beam 0 live initially
         jnp.full((N, B, L), blank, jnp.int32),
-        jnp.zeros((N, B), jnp.int32),
-        jnp.zeros((N, B), bool),
+        jnp.zeros((N, B), jnp.int32),  # emitted length u
+        jnp.zeros((N, B), jnp.int32),  # emissions at the current frame
+        jnp.zeros((N, B), bool),  # settled ("waiting") for current frame
+        jnp.zeros((N, B), jnp.uint32),  # rolling prefix hash
         pred_state0,
         out0.reshape(N, B, -1),
     )
-    scores, tokens, u, _, _, _ = jax.lax.fori_loop(0, T, frame_body, init)
+    _, scores, tokens, u, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
 
     best = jnp.argmax(scores, axis=1)
     n_iota = jnp.arange(N)
