@@ -126,6 +126,31 @@ def main(in_path="benchmarks_results.json",
             "from-logits path wins by never running log_softmax (or its "
             "backward) over the (N,T,U,V) tensor.",
         ]
+        fz = by_mode["full"].get("fused")
+        if fz:
+            # MXU utilization of the fused step: forward projection +
+            # backward's recompute, d_h, and d_W matmuls = 4 passes over
+            # the N*T*(U+1) x H x V joint GEMM (2 FLOP/MAC); everything
+            # else in the step is O(H^2) or O(N*T*U) and negligible.
+            MXU_PEAK_TFLOPS = 197.0  # v5e bf16
+            u_rows = cfg["U"] + 1
+            flops = 8.0 * cfg["N"] * cfg["T"] * u_rows * cfg["H"] * cfg["V"]
+            tfs = flops / (fz["step_ms"] / 1e3) / 1e12
+            pad_f = by_mode["full"]["log_softmax+gather"]
+            lines += [
+                "",
+                "  The fused joint+loss kernel never materializes the "
+                "(N,T,U,V) logits in HBM in either direction "
+                f"(**{fz['program_hbm_mb']:.0f} MiB program footprint vs "
+                f"{pad_f['program_hbm_mb']:.0f} MiB padded — the ~1 GiB "
+                "logits/log-probs buffers are gone**) and runs the step's "
+                "4 MXU passes (forward projection, backward recompute, d_h, "
+                f"d_W) at **{tfs:.0f} TFLOP/s = "
+                f"{tfs / MXU_PEAK_TFLOPS:.0%} of the v5e bf16 MXU peak**. "
+                "The reference architecture cannot express this op: it "
+                "requires materialized log-probs "
+                "(`/root/reference/README.md:59`).",
+            ]
         dec = e2e.get("decode")
         if dec:
             c = dec["config"]

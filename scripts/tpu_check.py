@@ -137,6 +137,49 @@ np.testing.assert_allclose(
 )
 print("TPU flat-layout API parity OK", flush=True)
 
+# ---- flat Pallas grad writer (Mosaic) at V >= 128 ---------------------------
+# The V=17 case above takes the XLA fallback (flat_write_supported needs
+# V >= 128), so this case exists to Mosaic-compile the actual kernel on the
+# chip: direct kernel-vs-oracle, then the public 3D rnnt_loss grad with the
+# kernel forced on vs forced off.
+from warp_rnnt_tpu.functional import gather as _gflat
+from warp_rnnt_tpu.ops import flat_kernels as _fk
+
+fV = 640  # BJ = 512 < V: exercises block tiling + boundary straddle paths
+rngw = np.random.RandomState(21)
+w_ct0 = jnp.asarray(rngw.randn(3, 37, 9).astype(np.float32))
+w_ct1 = jnp.asarray(rngw.randn(3, 37, 9).astype(np.float32))
+w_loc = rngw.randint(0, fV, (3, 9)).astype(np.int32)
+w_loc[:, -1] = 0  # terminal rows: blank/label collision must accumulate
+w_got = np.asarray(_fk.flat_grad_write(
+    w_ct0, w_ct1, jnp.asarray(w_loc), 0, fV, 9 * fV
+))
+w_vio = np.arange(fV).reshape(1, 1, 1, fV)
+w_l4 = np.broadcast_to(np.asarray(w_loc)[:, None, :, None], (3, 37, 9, 1))
+w_want = (
+    np.asarray(w_ct0)[..., None] * (w_vio == 0)
+    + np.asarray(w_ct1)[..., None] * (w_vio == w_l4)
+).reshape(3, 37, 9 * fV)
+np.testing.assert_allclose(w_got, w_want, rtol=1e-6, atol=1e-6)
+
+x2 = rngw.randn(3, 37, 9, fV).astype(np.float32)
+x2 = x2 - np.log(np.exp(x2).sum(-1, keepdims=True))
+ys2 = jnp.asarray(rngw.randint(1, fV, (3, 8)).astype(np.int32))
+xn2 = jnp.asarray(np.array([37, 20, 9], np.int32))
+yn2 = jnp.asarray(np.array([8, 3, 0], np.int32))
+g_flat = {}
+for force in (True, False):
+    _gflat._FORCE_FLAT_KERNEL = force
+    try:
+        g_flat[force] = np.asarray(jax.jit(jax.grad(
+            lambda z: rnnt_loss(z, ys2, xn2, yn2, reduction="sum",
+                                impl="pallas")
+        ))(jnp.asarray(x2).reshape(3, 37, 9 * fV)))
+    finally:
+        _gflat._FORCE_FLAT_KERNEL = None
+np.testing.assert_allclose(g_flat[True], g_flat[False], rtol=2e-3, atol=1e-5)
+print("TPU flat-writer Mosaic kernel parity OK", flush=True)
+
 # ---- fused joint+loss kernel on real hardware ------------------------------
 from warp_rnnt_tpu.ops.fused_joint import _labels_ext, fused_joint_core
 
@@ -243,6 +286,50 @@ for nm, r_, k_ in zip(("da", "dc", "dw", "db"), grB, gkB):
     )
 print("TPU fused-joint large-U parity OK", flush=True)
 
+# production-headline fused scale: H=256, V=5000 (the shape bench_joint
+# reports) — parity at reduced N (the reference formulation materializes
+# the full logits tensor), then a timing line at the full N=16 so fused
+# regressions show up in `make tpu-check`, not in user benchmarks
+pN, pT, pU, pV, pH = 2, 64, 21, 5000, 256
+pa = jnp.asarray(rngf.randn(pN, pT, pH).astype(np.float32)) * 0.3
+pc = jnp.asarray(rngf.randn(pN, pU, pH).astype(np.float32)) * 0.3
+pw = jnp.asarray(rngf.randn(pH, pV).astype(np.float32)) * 0.1
+pb = jnp.asarray(rngf.randn(pV).astype(np.float32)) * 0.1
+pys = jnp.asarray(rngf.randint(1, pV, (pN, pU - 1)).astype(np.int32))
+pxn = jnp.asarray(rngf.randint(pU, pT + 1, size=pN).astype(np.int32))
+pyn = jnp.asarray(rngf.randint(1, pU, size=pN).astype(np.int32))
+
+
+def _fj_prod_ref(a, c, w, b):
+    h = jnp.tanh(a[:, :, None, :] + c[:, None, :, :])
+    z = jax.lax.dot_general(
+        h.astype(jnp.bfloat16).reshape(-1, pH), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(pN, pT, pU, pV) + b
+    lab = _labels_ext(pys, 0, pN)
+    lz = jax.nn.logsumexp(z, -1)
+    el = jnp.take_along_axis(
+        z, jnp.broadcast_to(lab[:, None, :, None], (pN, pT, pU, 1)), -1
+    )[..., 0]
+    return rnnt_core(
+        jnp.stack([z[..., 0] - lz, el - lz], -1), pxn, pyn, 0.0, "pallas"
+    ).sum()
+
+
+_fj_prod = lambda a, c, w, b: fused_joint_core(
+    a, c, pw, pb, pys, pxn, pyn, 0, 0.0, "pallas"
+).sum()
+lrP, grP = jax.jit(jax.value_and_grad(_fj_prod_ref, argnums=(0, 1)))(pa, pc, pw, pb)
+lkP, gkP = jax.jit(jax.value_and_grad(_fj_prod, argnums=(0, 1)))(pa, pc, pw, pb)
+np.testing.assert_allclose(float(lkP), float(lrP), rtol=1e-4)
+for nm, r_, k_ in zip(("da", "dc"), grP, gkP):
+    r_, k_ = np.asarray(r_), np.asarray(k_)
+    assert np.isfinite(k_).all(), nm
+    np.testing.assert_allclose(
+        k_, r_, rtol=5e-2, atol=max(2e-2 * np.abs(r_).max(), 1e-5), err_msg=nm
+    )
+print("TPU fused-joint production-scale (H=256, V=5000) parity OK", flush=True)
+
 # ---- serialized (jax.export) artifact executes the Mosaic kernel -----------
 _exp = jax.export.export(
     jax.jit(lambda z: rnnt_core(z, xn, yn, 0.0, "platform")), platforms=("tpu",)
@@ -337,6 +424,27 @@ for impl in ("scan", "pallas"):
     fwd = jax.jit(lambda x, impl=impl: rnnt_loss(x, ys, xn, yn, reduction="mean", gather=True, impl=impl))
     ms = timeit(fwd, (lp,))
     print(f"FWD-only (beta sweep)   [{impl}]: {ms:.3f} ms", flush=True)
+
+# fused joint+loss timing at the bench_joint headline shape (N=16, H=256):
+# catches fused-kernel performance regressions in the gate itself
+fjN, fjH = 16, 256
+kf = jax.random.PRNGKey(2)
+fa_t = jax.random.normal(kf, (fjN, T, fjH), jnp.float32) * 0.3
+fc_t = jax.random.normal(kf, (fjN, U, fjH), jnp.float32) * 0.3
+fw_t = jax.random.normal(kf, (fjH, V), jnp.float32) * 0.1
+fb_t = jnp.zeros((V,), jnp.float32)
+fys_t = jax.random.randint(kf, (fjN, U - 1), 1, V, jnp.int32)
+fxn_t = jnp.full((fjN,), T, jnp.int32)
+fyn_t = jnp.full((fjN,), U - 1, jnp.int32)
+fused_vg = jax.jit(lambda a, c, w, b: jax.value_and_grad(
+    lambda aa, cc, ww, bb: fused_joint_core(
+        aa, cc, ww, bb, fys_t, fxn_t, fyn_t, 0, 0.0, "pallas"
+    ).sum(),
+    argnums=(0, 1, 2, 3),
+)(a, c, w, b))
+ms_fj = timeit(fused_vg, (fa_t, fc_t, fw_t, fb_t), iters=20)
+print(f"FUSED joint+loss value+grad (N=16, H=256, V=5000): {ms_fj:.3f} ms",
+      flush=True)
 
 # ---- sharded-vs-unsharded timing on the 1-device mesh (SURVEY §7.5) --------
 # rnnt_loss_shard_map goes through shard_map + psum on a real Mesh even with

@@ -52,14 +52,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _choose_blocks(N: int, T: int, V: int):
     """(BN, BT, BJ): BJ a 128-multiple <= V (so a block spans <= 2 u rows);
-    BT covers T whole up to 256 rows; BN groups samples until a write block
-    reaches ~4 MB (fewer grid steps amortize the per-step sync overhead —
-    measured 366 GB/s at 1.2 MB blocks vs ~2x better at 4 MB)."""
-    BJ = min(2048, (V // 128) * 128)
+    BT covers T whole up to 512 rows; BN groups samples until a write block
+    reaches ~8 MB (fewer grid steps amortize the per-step sync overhead)."""
+    BJ = min(4096, (V // 128) * 128)
     if BJ == 0:
         return None, None, None
-    BT = _round_up(min(T, 256), 8)
-    BN = max(1, min(N, (4 << 20) // (BT * BJ * 4)))
+    BT = _round_up(min(T, 512), 8)
+    BN = max(1, min(N, (8 << 20) // (BT * BJ * 4)))
     return BN, BT, BJ
 
 
@@ -87,22 +86,34 @@ def _flat_write_kernel(u0_ref, ct0_ref, ct1_ref, loc_ref, out_ref,
         return c0, c1, lu
 
     c0a, c1a, la = pick(u0)
-    c0b, c1b, lb = pick(u1)
-
-    # all index structure lives on a single (1, 1, BJ) lane row: which of
-    # the (at most) two u rows each lane belongs to, and that row's
-    # blank/label flat positions — the (BN, BT, BJ) work is then exactly
-    # two broadcast selects, two multiplies and one add per element
     jrow = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, BJ), 2)
-    in_b = jrow >= (u0 + 1) * V                        # (1, 1, BJ)
-    hit_blank = jrow == jnp.where(in_b, u1 * V + blank, u0 * V + blank)
-    hit_label = jrow == jnp.where(in_b, u1 * V + lb, u0 * V + la)
-    c0 = jnp.where(in_b, c0b, c0a)                     # (BN, BT, BJ)
-    c1 = jnp.where(in_b, c1b, c1a)
-    d = c0 * hit_blank.astype(jnp.float32) + c1 * hit_label.astype(
-        jnp.float32
-    )
-    out_ref[...] = d.astype(out_ref.dtype)
+    # does this block straddle a u boundary?  blocks are BJ <= V wide, so
+    # at most one boundary (at (u0+1)*V) can fall inside
+    straddles = (u0 + 1) * V < j0 + BJ
+
+    # all index structure lives on a single (1, 1, BJ) lane row; the
+    # (BN, BT, BJ)-wide work is a broadcast multiply-add per hit mask
+    @pl.when(jnp.logical_not(straddles))
+    def _():
+        # fast path (the common case at large V): the whole block lies in
+        # row u0 — two masks, two broadcast multiplies, one add
+        hit_blank = (jrow == u0 * V + blank).astype(jnp.float32)
+        hit_label = (jrow == u0 * V + la).astype(jnp.float32)
+        d = c0a * hit_blank + c1a * hit_label
+        out_ref[...] = d.astype(out_ref.dtype)
+
+    @pl.when(straddles)
+    def _():
+        c0b, c1b, lb = pick(u1)
+        in_b = jrow >= (u0 + 1) * V                    # (1, 1, BJ)
+        hit_blank = jrow == jnp.where(in_b, u1 * V + blank, u0 * V + blank)
+        hit_label = jrow == jnp.where(in_b, u1 * V + lb, u0 * V + la)
+        c0 = jnp.where(in_b, c0b, c0a)                 # (BN, BT, BJ)
+        c1 = jnp.where(in_b, c1b, c1a)
+        d = c0 * hit_blank.astype(jnp.float32) + c1 * hit_label.astype(
+            jnp.float32
+        )
+        out_ref[...] = d.astype(out_ref.dtype)
 
 
 def flat_grad_write(ct0, ct1, loc_rows, blank: int, V: int, UV: int,
