@@ -1,0 +1,114 @@
+"""The auto-routed joint+loss surface: every layout computes the same
+function; "auto" picks the measured winner for the backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warp_rnnt_tpu import rnnt_loss_joint
+from warp_rnnt_tpu.functional.joint_loss import (
+    joint_layout_route,
+    pack_joint_metadata,
+)
+
+
+def _setup(mode="add", seed=0):
+    rng = np.random.RandomState(seed)
+    N, T, U1, F, H, V = 3, 10, 4, 6, 16, 33
+    f = jnp.asarray(rng.randn(N, T, F).astype(np.float32)) * 0.4
+    g = jnp.asarray(rng.randn(N, U1, F).astype(np.float32)) * 0.4
+    Fin = 2 * F if mode == "concat" else F
+    params = dict(
+        w_pre=jnp.asarray(rng.randn(Fin, H).astype(np.float32)) * 0.3,
+        b_pre=jnp.asarray(rng.randn(H).astype(np.float32)) * 0.1,
+        w_out=jnp.asarray(rng.randn(H, V).astype(np.float32)) * 0.3,
+        b_out=jnp.asarray(rng.randn(V).astype(np.float32)) * 0.1,
+    )
+    ys = jnp.asarray(rng.randint(1, V, (N, U1 - 1)).astype(np.int32))
+    xn = jnp.asarray(np.array([10, 7, 4], np.int32))
+    yn = jnp.asarray(np.array([3, 1, 0], np.int32))
+    return f, g, params, ys, xn, yn
+
+
+@pytest.mark.parametrize("mode", ["add", "concat"])
+def test_all_layouts_agree(mode):
+    f, g, params, ys, xn, yn = _setup(mode)
+    costs = {
+        layout: np.asarray(rnnt_loss_joint(
+            f, g, params, ys, xn, yn, mode=mode, layout=layout
+        ))
+        for layout in ("fused", "padded", "compact")
+    }
+    for layout, c in costs.items():
+        np.testing.assert_allclose(
+            c, costs["padded"], rtol=2e-3, atol=2e-3, err_msg=layout
+        )
+
+
+def test_auto_routes_and_matches():
+    f, g, params, ys, xn, yn = _setup()
+    route = joint_layout_route(10, 4, 16, 33)
+    assert route in ("fused", "padded")
+    # off-TPU the auto route must avoid the interpreted Pallas kernel
+    if jax.default_backend() != "tpu":
+        assert route == "padded"
+    got = np.asarray(rnnt_loss_joint(f, g, params, ys, xn, yn, layout="auto"))
+    want = np.asarray(rnnt_loss_joint(f, g, params, ys, xn, yn, layout=route))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_gradients_agree_across_layouts():
+    f, g, params, ys, xn, yn = _setup()
+
+    def loss(layout, p, ff, gg):
+        return rnnt_loss_joint(ff, gg, p, ys, xn, yn, reduction="sum",
+                               layout=layout)
+
+    ref = jax.grad(lambda p, ff, gg: loss("padded", p, ff, gg),
+                   argnums=(0, 1, 2))(params, f, g)
+    for layout in ("fused", "compact"):
+        got = jax.grad(lambda p, ff, gg: loss(layout, p, ff, gg),
+                       argnums=(0, 1, 2))(params, f, g)
+        for want_leaf, got_leaf in zip(jax.tree_util.tree_leaves(ref),
+                                       jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(got_leaf), np.asarray(want_leaf),
+                rtol=5e-2, atol=5e-3, err_msg=layout,
+            )
+
+
+def test_reductions_and_average_frames():
+    f, g, params, ys, xn, yn = _setup()
+    none = rnnt_loss_joint(f, g, params, ys, xn, yn, layout="padded")
+    mean = rnnt_loss_joint(f, g, params, ys, xn, yn, layout="padded",
+                           reduction="mean")
+    np.testing.assert_allclose(float(mean), float(np.mean(np.asarray(none))),
+                               rtol=1e-6)
+    af = rnnt_loss_joint(f, g, params, ys, xn, yn, layout="padded",
+                         average_frames=True)
+    np.testing.assert_allclose(
+        np.asarray(af), np.asarray(none) / np.asarray(xn), rtol=1e-6
+    )
+
+
+def test_pack_joint_metadata():
+    xn = np.array([3, 2], np.int32)
+    yn = np.array([1, 0], np.int32)
+    n_idx, t_idx, u_idx = pack_joint_metadata(xn, yn)
+    assert n_idx.shape[0] == 3 * 2 + 2 * 1
+    np.testing.assert_array_equal(
+        np.asarray(n_idx), [0, 0, 0, 0, 0, 0, 1, 1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_idx), [0, 0, 1, 1, 2, 2, 0, 1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_idx), [0, 1, 0, 1, 0, 1, 0, 0]
+    )
+
+
+def test_unknown_layout_raises():
+    f, g, params, ys, xn, yn = _setup()
+    with pytest.raises(ValueError, match="unknown layout"):
+        rnnt_loss_joint(f, g, params, ys, xn, yn, layout="nope")

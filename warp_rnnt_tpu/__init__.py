@@ -12,6 +12,7 @@ from warp_rnnt_tpu.functional import (
     rnnt_core_with_internals,
     rnnt_loss,
     rnnt_loss_from_logits,
+    rnnt_loss_joint,
     rnnt_loss_restricted,
     rnnt_loss_with_internals,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "rnnt_loss",
     "rnnt_loss_from_logits",
     "rnnt_loss_fused_joint",
+    "rnnt_loss_joint",
     "rnnt_loss_restricted",
     "rnnt_loss_with_internals",
     "__version__",

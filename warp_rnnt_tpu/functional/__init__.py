@@ -1,6 +1,7 @@
 from warp_rnnt_tpu.functional.alignment import rnnt_alignment
 from warp_rnnt_tpu.functional.core import rnnt_core, rnnt_core_with_internals
 from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+from warp_rnnt_tpu.functional.joint_loss import rnnt_loss_joint
 from warp_rnnt_tpu.functional.loss import rnnt_loss, rnnt_loss_with_internals
 from warp_rnnt_tpu.functional.restricted import rnnt_loss_restricted
 
@@ -10,6 +11,7 @@ __all__ = [
     "rnnt_core_with_internals",
     "rnnt_loss",
     "rnnt_loss_from_logits",
+    "rnnt_loss_joint",
     "rnnt_loss_restricted",
     "rnnt_loss_with_internals",
 ]
