@@ -90,21 +90,29 @@ def bench_joint(N=16, T=150, U=20, V=5000, H=256, mode="from_logits",
                 lp, ys_packed, xn, yn, reduction="mean", compact=True,
                 max_frames=T, max_labels=U,
             )
-    elif mode == "fused":
-        # fused joint+loss Pallas kernel: the (N, T, U+1, V) logits tensor
-        # never exists (ops/fused_joint.py) — capability the reference
+    elif mode in ("fused", "auto"):
+        # fused: joint+loss Pallas kernel — the (N, T, U+1, V) logits tensor
+        # never exists (ops/fused_joint.py), capability the reference
         # architecture cannot express (it requires materialized log-probs,
-        # README.md:59)
+        # README.md:59).  auto: the routed public surface
+        # (functional/joint_loss.rnnt_loss_joint), which picks the measured
+        # winner per backend/shape.
         import flax.linen as nn
 
+        from warp_rnnt_tpu import rnnt_loss_joint
         from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
 
-        def loss_fn(p, f, g):
+        def loss_fn(p, f, g, mode=mode):
             pp = nn.unbox(p)["params"]
             fused_params = dict(
                 w_pre=pp["pre"]["kernel"], b_pre=pp["pre"]["bias"],
                 w_out=pp["out"]["kernel"], b_out=pp["out"]["bias"],
             )
+            if mode == "auto":
+                return rnnt_loss_joint(
+                    f, g, fused_params, ys, xn, yn, reduction="mean",
+                    layout="auto",
+                )
             return rnnt_loss_fused_joint(
                 f, g, fused_params, ys, xn, yn, reduction="mean"
             )

@@ -31,8 +31,12 @@ Large V: XLA take_along_axis moves rows at a flat ~15-30 ns/row and wins
 (1.6 ms at V=5000).  End-to-end, compact is ~3.5x faster AND lighter than
 padded at V=5000 (the vocabulary dominates); at tiny-V/huge-lattice shapes
 the CALLER's packed-joint row construction (f/g gathers over STU rows)
-still dominates the step and padded remains faster overall — prefer
-compact when V >= ~1000 or when padded memory is the binding constraint.
+still dominates the step and padded remains faster overall.  Users should
+not pick layouts by hand: `functional/joint_loss.rnnt_loss_joint(
+layout="auto")` routes the whole joint+loss pipeline to the measured
+winner per shape (on TPU that is the fused kernel, which beats compact at
+every measured shape — benchmarks_endtoend.json).  This module remains the
+reference-parity packed API for callers that hold packed (STU, V) tensors.
 """
 
 from __future__ import annotations
