@@ -221,3 +221,27 @@ def test_fused_joint_matches_torch_unfused_reference():
         costs_fused.detach().numpy(), costs_ref.detach().numpy(),
         rtol=5e-3, atol=5e-3,
     )
+
+
+def test_rnnt_loss_joint_layouts_agree_and_backprop():
+    """The torch routed surface: every layout computes the same function and
+    gradients flow to inputs and all four parameters."""
+    from warp_rnnt_tpu.bindings.torch_binding import rnnt_loss_joint
+
+    f, g, params, labels, xn, yn = _fused_setup(seed=5)
+    for t in (f, g, *params.values()):
+        t.requires_grad_(True)
+    costs = {
+        lay: rnnt_loss_joint(f, g, params, labels, xn, yn, layout=lay)
+        for lay in ("auto", "fused", "padded", "compact")
+    }
+    for lay, c in costs.items():
+        np.testing.assert_allclose(
+            c.detach().numpy(), costs["padded"].detach().numpy(),
+            rtol=2e-3, atol=2e-3, err_msg=lay,
+        )
+    total = costs["auto"].sum()
+    total.backward()
+    for t in (f, g, *params.values()):
+        assert t.grad is not None
+        assert torch.isfinite(t.grad).all()

@@ -161,11 +161,12 @@ class _RNNTLossFusedJoint(torch.autograd.Function):
 
     @staticmethod
     def forward(ctx, f, g, w_pre, b_pre, w_out, b_out, labels,
-                frames_lengths, labels_lengths, blank, fastemit_lambda, mode):
+                frames_lengths, labels_lengths, blank, fastemit_lambda, mode,
+                layout="fused"):
         import jax
 
-        from warp_rnnt_tpu.ops.fused_joint import (
-            rnnt_loss_fused_joint as _jax_fused,
+        from warp_rnnt_tpu.functional.joint_loss import (
+            rnnt_loss_joint as _jax_joint,
         )
 
         to_j = lambda t: jnp.asarray(t.detach().numpy())
@@ -176,10 +177,10 @@ class _RNNTLossFusedJoint(torch.autograd.Function):
         def fn(f_j, g_j, w_pre_j, b_pre_j, w_out_j, b_out_j):
             params = dict(w_pre=w_pre_j, b_pre=b_pre_j,
                           w_out=w_out_j, b_out=b_out_j)
-            return _jax_fused(
+            return _jax_joint(
                 f_j, g_j, params, labels_j, xn, yn,
                 reduction="none", blank=blank,
-                fastemit_lambda=fastemit_lambda, mode=mode,
+                fastemit_lambda=fastemit_lambda, mode=mode, layout=layout,
             )
 
         costs, vjp_fn = jax.vjp(
@@ -194,7 +195,7 @@ class _RNNTLossFusedJoint(torch.autograd.Function):
         ct = jnp.asarray(grads_output.detach().numpy().astype(np.float32))
         grads = ctx.vjp_fn(ct)
         out = tuple(torch.from_numpy(np.asarray(gr, np.float32)) for gr in grads)
-        return out + (None, None, None, None, None, None)
+        return out + (None, None, None, None, None, None, None)
 
 
 def rnnt_loss_fused_joint(
@@ -228,7 +229,7 @@ def rnnt_loss_fused_joint(
     costs = _RNNTLossFusedJoint.apply(
         f, g, params["w_pre"], params["b_pre"], params["w_out"],
         params["b_out"], labels, frames_lengths, labels_lengths,
-        blank, fastemit_lambda, mode,
+        blank, fastemit_lambda, mode, "fused",
     )
     if average_frames:
         costs = costs / frames_lengths.to(costs)
@@ -242,6 +243,42 @@ def rnnt_loss_fused_joint(
         f"Unknown reduction method: {reduction}, expected to be one of"
         " ['mean', 'sum', 'none']"
     )
+
+
+def rnnt_loss_joint(
+    f: torch.Tensor,
+    g: torch.Tensor,
+    params: dict,
+    labels: torch.Tensor,
+    frames_lengths: torch.Tensor,
+    labels_lengths: torch.Tensor,
+    average_frames: bool = False,
+    reduction: Optional[str] = "none",
+    blank: int = 0,
+    fastemit_lambda: float = 0.0,
+    mode: str = "add",
+    layout: str = "auto",
+) -> torch.Tensor:
+    """Auto-routed joint + RNN-T loss for torch users.
+
+    Same contract as `rnnt_loss_fused_joint` but the execution layout
+    ('fused' | 'padded' | 'compact') is picked by the measured routing
+    policy when ``layout="auto"`` (`functional/joint_loss.py`) — the torch
+    user never has to know which lattice layout is fast on the backend.
+    """
+    assert reduction is None or reduction in ("none", "mean", "sum")
+    costs = _RNNTLossFusedJoint.apply(
+        f, g, params["w_pre"], params["b_pre"], params["w_out"],
+        params["b_out"], labels, frames_lengths, labels_lengths,
+        blank, fastemit_lambda, mode, layout,
+    )
+    if average_frames:
+        costs = costs / frames_lengths.to(costs)
+    if reduction in (None, "none"):
+        return costs
+    if reduction == "sum":
+        return costs.sum()
+    return costs.mean()
 
 
 class _RNNTLossCompact(torch.autograd.Function):
