@@ -34,9 +34,10 @@ the CALLER's packed-joint row construction (f/g gathers over STU rows)
 still dominates the step and padded remains faster overall.  Users should
 not pick layouts by hand: `functional/joint_loss.rnnt_loss_joint(
 layout="auto")` routes the whole joint+loss pipeline to the measured
-winner per shape (on TPU that is the fused kernel, which beats compact at
-every measured shape — benchmarks_endtoend.json).  This module remains the
-reference-parity packed API for callers that hold packed (STU, V) tensors.
+winner per shape (on TPU: the fused kernel at large logits volumes, padded
+from-logits below — both beat compact at every measured shape,
+benchmarks_endtoend.json).  This module remains the reference-parity
+packed API for callers that hold packed (STU, V) tensors.
 """
 
 from __future__ import annotations

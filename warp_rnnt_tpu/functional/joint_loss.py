@@ -6,13 +6,16 @@ wins (`/root/reference/pytorch_binding/benchmark2.py:129-164`).  On TPU the
 winner depends on the shape regime (measured, benchmarks_endtoend.json
 `joint_loss_backward_by_config`):
 
-  * the fused joint+loss Pallas kernel (`ops/fused_joint.py`) wins wherever
-    it runs: the (N, T, U, V) logits tensor never exists in HBM in either
-    direction (headline: 3.6 ms vs 15.6 from-logits vs 9.1 compact at
-    N=16, T=150, U=20, V=5000, H=256 — and a ~190x program-HBM drop);
-  * materialized layouts order by vocabulary regime: compact (packed) wins
-    when V dominates the padded tensor; padded from-logits wins at tiny V /
-    huge lattices where per-row packed indexing dominates the step.
+  * the fused joint+loss Pallas kernel (`ops/fused_joint.py`) wins once
+    the logits tensor the padded pipeline would materialize is large (its
+    HBM round-trips dominate): 2.9 ms vs 15.6 from-logits vs 5.0 compact
+    at N=16, T=150, U=20, V=5000, H=256 — and a ~190x program-HBM drop;
+  * below that (tiny-V, lattice-bound steps) padded from-logits wins
+    (0.38 ms vs fused 0.52 at T=150, U=40, V=28 — the kernel pads V to 128
+    lanes and recomputes the tanh in fp32);
+  * compact (packed) sits between them when V dominates the padded tensor,
+    and loses badly at tiny-V/huge-lattice shapes where per-row packed
+    indexing dominates the step.
 
 `rnnt_loss_joint(layout="auto")` makes the choice so the user never has to
 know — the reference-parity promise ("compact never loses") delivered the
@@ -35,19 +38,34 @@ from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
 from warp_rnnt_tpu.functional.loss import rnnt_loss
 
 
-def joint_layout_route(T: int, U: int, H: int, V: int) -> str:
+# Auto-route boundary: the fused kernel wins once the materialized logits
+# tensor is large enough that its HBM round-trips dominate the step; below
+# it the step is lattice-DP/latency-bound and the kernel's V->128 padding
+# and fp32 tanh recompute cost more than they save.  Measured
+# (benchmarks_endtoend.json joint_loss_backward_by_config, N=16, H=256):
+# at 11 MB logits (T=150,U=40,V=28) from-logits 0.38 ms beats fused 0.52;
+# at 252 MB (T=150,U=20,V=5000) fused 2.90 beats 15.6; the boundary is
+# placed at the geometric middle of the measured bracket.
+_FUSED_LOGITS_BYTES = 48 << 20
+
+
+def joint_layout_route(T: int, U: int, H: int, V: int, N: int = 1) -> str:
     """The measured routing policy for `layout="auto"`.
 
-    "fused" on TPU (it wins at every measured shape — see module
-    docstring); "padded" (from-logits) elsewhere, where the fused kernel
-    would run under the Pallas interpreter.  U counts lattice rows
+    On TPU: "fused" once the logits tensor the padded pipeline would
+    materialize exceeds `_FUSED_LOGITS_BYTES` (where avoiding it pays),
+    else "padded" (from-logits).  Off TPU always "padded" — the fused
+    kernel would run under the Pallas interpreter.  U counts lattice rows
     (labels + 1).
     """
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
         on_tpu = False
-    return "fused" if on_tpu else "padded"
+    if not on_tpu:
+        return "padded"
+    logits_bytes = 4 * N * T * U * V
+    return "fused" if logits_bytes >= _FUSED_LOGITS_BYTES else "padded"
 
 
 def _pre_projections(f, g, params, mode):
@@ -140,9 +158,9 @@ def rnnt_loss_joint(
                     usable under jit with traced lengths.
     """
     if layout == "auto":
-        U1 = g.shape[1]
         layout = joint_layout_route(
-            f.shape[1], U1, params["w_out"].shape[0], params["w_out"].shape[1]
+            f.shape[1], g.shape[1], params["w_out"].shape[0],
+            params["w_out"].shape[1], N=f.shape[0],
         )
     if layout == "fused":
         from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
