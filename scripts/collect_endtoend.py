@@ -86,7 +86,8 @@ def collect_by_config():
         for mode, key in (("log_softmax+gather", "padded_ms"),
                           ("from_logits", "from_logits_ms"),
                           ("compact", "compact_ms"),
-                          ("fused", "fused_ms")):
+                          ("fused", "fused_ms"),
+                          ("auto", "routed_ms")):
             print(f"by_config T={T} U={U} V={V} {mode}", flush=True)
             (r,) = _run_json_lines(
                 ["warp_rnnt_tpu.benchmarks.bench_joint", mode,

@@ -33,7 +33,8 @@ def main(in_path="benchmarks_results.json",
             lg = fw = "OOM" if "RESOURCE_EXHAUSTED" in r["error"] else "error"
             sp = bw_s = "—"
         else:
-            lg = f"**{r['loss_grad_ms']:.2f}**"
+            flat = "†" if r.get("layout") == "flat3d" else ""
+            lg = f"**{r['loss_grad_ms']:.2f}**{flat}"
             fw = f"{r['fwd_ms']:.2f}"
             sp = f"{ref / r['loss_grad_ms']:.1f}x" if ref else "∞ (ref OOM)"
             # the dense (N, T, U+1, V) fp32 gradient is the one unavoidable
@@ -60,6 +61,11 @@ def main(in_path="benchmarks_results.json",
         "across two chain lengths, which cancels the environment's "
         "constant ~30-60 ms sync cost exactly. Chains serialize on data "
         "dependencies, so the marginal is true per-batch device time.",
+        "- † rows feed the flat `(N, T, (U+1)*V)` production layout: above "
+        "the ~4 GiB gather cliff a 4D operand leaves XLA's fast indexing "
+        "path, so the public API accepts the lattice natively 3-D and the "
+        "gradient is written in flat coordinates by a Pallas kernel "
+        "(`functional/gather.py`, `ops/flat_kernels.py`).",
         "- Rows marked OOM exceed single-chip HBM for inputs+grads in fp32; "
         "the reference OOMs on its 8 GB GPU in the same rows and earlier "
         "(T=150/U=20/V=5000 at N=64 already OOMs there but runs here).",
@@ -181,18 +187,28 @@ def main(in_path="benchmarks_results.json",
                 "- Layout sweep over the reference table shapes (random "
                 "lengths, N=16, H=256; joint+loss+backward step ms):",
                 "",
-                "| T | U | V | padded | from-logits | compact | fused |",
-                "|---|---|---|---|---|---|---|",
+                "| T | U | V | padded | from-logits | compact | fused | routed (`layout=\"auto\"`) |",
+                "|---|---|---|---|---|---|---|---|",
             ]
             for r in bc["rows"]:
                 fused_s = (f"{r['fused_ms']:.2f}"
                            if r.get("fused_ms") is not None else "—")
+                routed_s = (f"**{r['routed_ms']:.2f}**"
+                            if r.get("routed_ms") is not None else "—")
                 lines.append(
                     f"| {r['T']} | {r['U']} | {r['V']} | "
                     f"{r['padded_ms']:.2f} | {r['from_logits_ms']:.2f} | "
-                    f"{r['compact_ms']:.2f} | {fused_s} |"
+                    f"{r['compact_ms']:.2f} | {fused_s} | {routed_s} |"
                 )
-            lines.append("")
+            lines += [
+                "",
+                "  The routed column is the public `rnnt_loss_joint"
+                "(layout=\"auto\")` surface — the dispatcher must match the "
+                "per-shape winner (the reference's \"compact never loses\" "
+                "property, delivered by routing instead of by a "
+                "universally-dominant layout).",
+                "",
+            ]
         lr = e2e.get("large_gather_row")
         if lr and "loss_grad_ms" in lr:
             c = lr["config"]
