@@ -22,9 +22,9 @@ Algorithm (time-synchronous decoding per sample, in the family of Graves
   * a sample whose live beams are all settled advances t in the same step.
 
 The sequential op count is max-over-samples of (frames + emission rounds)
-instead of frames x (global expansion rounds + 1): ~2x fewer serialized
-joint evaluations at typical ASR emission rates (measured 289 -> ~140 ms
-at N=32, T=400, V=1024, beam=4; see benchmarks_endtoend.json:decode).
+instead of frames x (global expansion rounds + 1): measured 289 -> 91.8 ms
+per batch at N=32, T=400, V=1024, beam=4 (and greedy 11.9 -> 5.4 ms from
+the same per-sample frame pointers; see benchmarks_endtoend.json:decode).
 
 Duplicate hypotheses (identical label prefixes reached via different
 expansion orders) are MAX-merged after every selection — the better-scored
