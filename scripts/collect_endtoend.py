@@ -135,43 +135,49 @@ def collect_decode():
 
 
 def collect_large_row():
-    """The N=128, V=5000 row (flat production layout above the 4 GiB cliff)."""
+    """The N=128, V=5000 row, BOTH layouts: 4D (the measured production
+    default at the cliff) and flat (N, T, U*V) (near-parity; for producers
+    that emit the lattice flat — row-major layouts pinned, Pallas grad
+    writer aliased into the donated buffer)."""
     data = _load()
     print("large_row", flush=True)
-    code = (
-        "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
-        "run_one(128, 150, 20, 5000, 10)"
-    )
-    for attempt, donate in ((0, True), (1, True), (2, False)):
-        if attempt:
-            time.sleep(30)
-        if not donate:
-            code = code.replace("5000, 10)", "5000, 10, donate=False)")
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=2400, cwd=ROOT,
-            )
-        except subprocess.TimeoutExpired:
-            continue
-        for l in proc.stdout.splitlines():
-            if l.startswith("RESULT "):
-                r = json.loads(l[len("RESULT "):])
-                prev = data.get("large_gather_row", {})
-                data["large_gather_row"] = {
-                    "config": {"N": 128, "T": 150, "U": 20, "V": 5000},
-                    "loss_grad_ms": r["loss_grad_ms"], "fwd_ms": r["fwd_ms"],
-                    "layout": r.get("layout", "4d"),
-                    "round2_loss_grad_ms": prev.get(
-                        "loss_grad_ms", prev.get("round2_loss_grad_ms")),
-                    "round1_loss_grad_ms": prev.get("round1_loss_grad_ms"),
-                    "round1_fwd_ms": prev.get("round1_fwd_ms"),
-                }
-                _save(data)
-                return
-        print(f"  attempt {attempt}: exit {proc.returncode}\n"
-              + proc.stderr[-1500:], flush=True)
-    raise RuntimeError("large_row failed")
+
+    def measure(flat):
+        code = (
+            "from warp_rnnt_tpu.benchmarks.run_table import run_one;"
+            f"run_one(128, 150, 20, 5000, 10, donate=%s, flat={flat})"
+        )
+        for attempt, donate in ((0, True), (1, True), (2, False)):
+            if attempt:
+                time.sleep(30)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", code % donate],
+                    capture_output=True, text=True, timeout=2400, cwd=ROOT,
+                )
+            except subprocess.TimeoutExpired:
+                continue
+            for l in proc.stdout.splitlines():
+                if l.startswith("RESULT "):
+                    return json.loads(l[len("RESULT "):])
+            print(f"  attempt {attempt}: exit {proc.returncode}\n"
+                  + proc.stderr[-1500:], flush=True)
+        raise RuntimeError(f"large_row flat={flat} failed")
+
+    r4d = measure(False)
+    prev = data.get("large_gather_row", {})
+    data["large_gather_row"] = {
+        "config": {"N": 128, "T": 150, "U": 20, "V": 5000},
+        "loss_grad_ms": r4d["loss_grad_ms"], "fwd_ms": r4d["fwd_ms"],
+        "layout": "4d",
+        "round1_loss_grad_ms": prev.get("round1_loss_grad_ms"),
+        "round1_fwd_ms": prev.get("round1_fwd_ms"),
+    }
+    _save(data)
+    rfl = measure(True)
+    data["large_gather_row"]["flat_loss_grad_ms"] = rfl["loss_grad_ms"]
+    data["large_gather_row"]["flat_fwd_ms"] = rfl["fwd_ms"]
+    _save(data)
 
 
 SECTIONS = {

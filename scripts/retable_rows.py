@@ -4,11 +4,10 @@ Usage: python scripts/retable_rows.py N,T,U,V [N,T,U,V ...]
 
 Each row runs in its own subprocess with the same retry/donation policy as
 `run_table.main` (the remote tunnel flakes; donation-aliased executions can
-FAILED_PRECONDITION and poison the client).  Rows above the >4 GiB gather
-cliff automatically use the flat (N, T, U*V) production layout
-(`bench_loss.use_flat_layout`) and are tagged `layout: flat3d` — this is the
-tool that proves the flat layout's end-to-end numbers at the cliff configs
-(VERDICT r3 item 3) without re-running the whole ~30 min table.
+FAILED_PRECONDITION and poison the client).  Rows feed the production
+default 4D layout (measured winner at every config incl. the >4 GiB cliff —
+see `bench_loss.use_flat_layout`); the flat (N, T, U*V) companion numbers at
+the cliff are collected by `collect_endtoend.py large_row`.
 """
 
 import json

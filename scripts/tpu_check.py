@@ -180,6 +180,21 @@ for force in (True, False):
 np.testing.assert_allclose(g_flat[True], g_flat[False], rtol=2e-3, atol=1e-5)
 print("TPU flat-writer Mosaic kernel parity OK", flush=True)
 
+# the production composition: log_probs DONATED, so the kernel's
+# input_output_alias writes the gradient straight into the donated buffer
+# (without the alias XLA copies the full custom-call output — +24.7 ms on
+# the 7.5 GB N=128 row).  Parity must hold with donation live.
+_gflat._FORCE_FLAT_KERNEL = True
+try:
+    g_donated = np.asarray(jax.jit(jax.grad(
+        lambda z: rnnt_loss(z, ys2, xn2, yn2, reduction="sum",
+                            impl="pallas")
+    ), donate_argnums=(0,))(jnp.asarray(x2).reshape(3, 37, 9 * fV)))
+finally:
+    _gflat._FORCE_FLAT_KERNEL = None
+np.testing.assert_allclose(g_donated, g_flat[False], rtol=2e-3, atol=1e-5)
+print("TPU flat-writer donated-alias parity OK", flush=True)
+
 # ---- fused joint+loss kernel on real hardware ------------------------------
 from warp_rnnt_tpu.ops.fused_joint import _labels_ext, fused_joint_core
 

@@ -278,3 +278,24 @@ def test_flat_write_supported_gate():
     assert not flat_kernels.flat_write_supported(100)  # < 128 lanes
     assert flat_kernels.flat_write_supported(128)
     assert flat_kernels.flat_write_supported(5000)
+
+
+def test_flat_grad_write_alias_never_read():
+    """out_alias is an alias TARGET only: filling it with garbage must not
+    change the result (the kernel fully overwrites every output block)."""
+    from warp_rnnt_tpu.ops import flat_kernels
+
+    rng = np.random.RandomState(7)
+    N, T, U, V = 2, 11, 3, 160
+    ct0 = jnp.asarray(rng.randn(N, T, U).astype(np.float32))
+    ct1 = jnp.asarray(rng.randn(N, T, U).astype(np.float32))
+    loc_rows = jnp.asarray(rng.randint(0, V, size=(N, U)).astype(np.int32))
+    garbage = jnp.asarray(
+        rng.randn(N, T, U * V).astype(np.float32) * 1e6 + np.nan
+    )
+    got = flat_kernels.flat_grad_write(
+        ct0, ct1, loc_rows, 7, V, U * V, interpret=True, out_alias=garbage
+    )
+    ct = np.stack([np.asarray(ct0), np.asarray(ct1)], axis=-1)
+    want = _flat_reference(ct, np.asarray(loc_rows), 7, V, N, T, U)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)

@@ -21,11 +21,25 @@ CONFIGS = [
 
 
 def use_flat_layout(N, T, U, V, dtype=jnp.float32):
-    """Above the >4 GiB gather cliff the flat (N, T, U*V) layout is the
-    intended production layout (`functional/gather.py`: a 4D operand pays a
-    full relayout copy to reach the fast gather; a producer materializing
-    the lattice at this size should emit it flat).  The benchmark feeds the
-    layout a well-configured producer would."""
+    """Layout the table feeds at each config — 4D everywhere, after
+    measurement.  The hypothesis that flat-native feeding wins above the
+    >4 GiB gather cliff was REFUTED on hardware: at N=128, T=150, V=5000
+    both layouts sit at the same gather+write floor (4D 22.6 ms loss+grad
+    vs flat 23.3 with row-major layouts pinned and the grad writer aliased
+    into the donated buffer; the forward gather costs ~10.5 ms either way —
+    two flat take_along_axis calls at ~13 ns/element vs one 4D slow-path
+    call at ~26 ns/element; `scripts/exp_colgather.py`,
+    `scripts/exp_flat_alias.py`).  The flat path remains fully supported
+    and near-parity for callers whose producer emits the lattice flat; the
+    table reports the 4D number as the production default."""
+    del N, T, U, V, dtype
+    return False
+
+
+def flat_layout_cliff(N, T, U, V, dtype=jnp.float32):
+    """True above the >4 GiB operand size where the 4D gather leaves XLA's
+    fast path (`functional/gather._FLAT3D_BYTES`) — the regime the flat
+    (N, T, U*V) layout and its Pallas grad writer exist for."""
     from warp_rnnt_tpu.functional.gather import _FLAT3D_BYTES
 
     return jnp.dtype(dtype).itemsize * N * T * (U + 1) * V > _FLAT3D_BYTES
@@ -65,7 +79,7 @@ def make_batch(key, N, T, U, V, dtype=jnp.float32, flat=False):
 
 
 def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto",
-                   dtype=jnp.float32, donate=True):
+                   dtype=jnp.float32, donate=True, flat=None):
     """Mean ms per loss(+grad) call, dependency-forced (see `timing.py`).
 
     grad=True: each iteration's gradient is fed back as the next iteration's
@@ -81,7 +95,8 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto",
     )
 
     key = jax.random.PRNGKey(0)
-    flat = use_flat_layout(N, T, U, V, dtype)
+    if flat is None:
+        flat = use_flat_layout(N, T, U, V, dtype)
     xs, ys, xn, yn = make_batch(key, N, T, U, V, dtype, flat=flat)
 
     if grad:
@@ -98,7 +113,26 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto",
         # tunnel (FAILED_PRECONDITION) and the failure poisons the whole
         # process, so the fallback must come from the CALLER in a fresh
         # process (run_table flips donate=False on retry).
-        step = jax.jit(loss_vg, donate_argnums=0) if donate else jax.jit(loss_vg)
+        kw = {"donate_argnums": 0} if donate else {}
+        if flat:
+            # Pin row-major {2,1,0} layouts on the log-prob parameter and
+            # the gradient output.  At an isolated jit boundary whose param
+            # feeds only gathers, XLA otherwise picks {0,2,1} — and the
+            # Mosaic flat grad writer constrains row-major, so XLA
+            # reconciles with full-tensor transpose copies (measured 71.8 ms
+            # loss+grad vs 23.1 pinned at N=128, V=5000; compile-only
+            # evidence in scripts/exp_flat_alias.py).  Any realistic
+            # producer (matmul/log_softmax in the same jit) is row-major
+            # already; the pin models that.
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            rm = Format(Layout((0, 1, 2)),
+                        SingleDeviceSharding(jax.devices()[0]))
+            kw["in_shardings"] = rm
+            kw["out_shardings"] = (None, rm)
+            xs = jax.jit(lambda a: a, out_shardings=rm)(xs)
+        step = jax.jit(loss_vg, **kw)
         return bench_grad_chain(step, xs, iters)
 
     def fwd(xs):

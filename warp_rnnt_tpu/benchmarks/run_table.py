@@ -19,19 +19,27 @@ REFERENCE_GATHER_MS = {
 }
 
 
-def run_one(N, T, U, V, iters, donate=True):
-    """Entry point used in the per-config subprocess."""
+def run_one(N, T, U, V, iters, donate=True, flat=None):
+    """Entry point used in the per-config subprocess.
+
+    flat=None feeds the production-default layout (4D — see
+    bench_loss.use_flat_layout for the measured rationale); flat=True
+    forces the flat (N, T, U*V) layout with row-major jit layouts pinned.
+    """
     from warp_rnnt_tpu.benchmarks.bench_loss import run_loss_bench, use_flat_layout
 
+    if flat is None:
+        flat = use_flat_layout(N, T, U, V)
     out = {
         "loss_grad_ms": round(
-            run_loss_bench(N, T, U, V, iters, grad=True, donate=donate), 3
+            run_loss_bench(N, T, U, V, iters, grad=True, donate=donate,
+                           flat=flat), 3
         ),
-        "fwd_ms": round(run_loss_bench(N, T, U, V, iters, grad=False), 3),
+        "fwd_ms": round(
+            run_loss_bench(N, T, U, V, iters, grad=False, flat=flat), 3
+        ),
     }
-    if use_flat_layout(N, T, U, V):
-        # above the >4 GiB gather cliff the benchmark feeds the flat
-        # (N, T, U*V) production layout (see bench_loss.use_flat_layout)
+    if flat:
         out["layout"] = "flat3d"
     print("RESULT " + json.dumps(out))
 

@@ -53,12 +53,18 @@ def _use_mask(V, dtype):
 # 10.1 ms at 6.0 GB -> 23.7 ms at 7.5 GB; presumably the 32-bit byte-offset
 # limit on the tile-padded (U, V) minor dims).  Above the limit the gather
 # is reformulated on the flattened (N, T, U*V) view with fused u*V + loc
-# indices — measured 10.6 ms vs 23.7 ms on the 7.5 GB N=128, V=5000 operand
-# (a natively-3D operand gathers in 5.3 ms; the remainder is the reshape's
-# relayout).  Batch-chunking and Pallas streaming/sparse-window kernels were
-# both tried and rejected: chunk slices force retiled padded copies (+1.7x
-# memory, compile OOM), and Pallas operand relayout copies RESOURCE_EXHAUST
-# the chip at 7.5 GB.
+# indices — measured 10.6 ms vs 23.7 ms on the 7.5 GB N=128, V=5000 operand.
+# Measured unit costs (scripts/exp_colgather.py, v5e): flat take_along_axis
+# is ~13 ns per gathered SCALAR regardless of V; the 4D slow path is ~26 ns.
+# The label gather is ~all of the flat formulation's cost; the blank column
+# adds a second full-price gather on the flat view (a stride-V slice
+# measured 3x WORSE at 30 ms — XLA strided slices over tiled minor dims are
+# pathological — and a Pallas window-DMA column gather measured 24.8 ms,
+# bound by the DMA engine's ~0.24 us per (8,128)-tile chunk).  Batch
+# chunking and Pallas streaming/sparse-window kernels were likewise tried
+# and rejected (chunk slices force retiled padded copies; operand relayouts
+# RESOURCE_EXHAUST the chip at 7.5 GB).  Net: ~10.5 ms is the practical
+# floor for this gather on v5e in either layout.
 _FLAT3D_BYTES = 1 << 32
 
 
@@ -118,18 +124,28 @@ def gather_blank_label(xs, loc, blank: int):
 def gather_blank_label_flat(xs3, loc, blank: int, V: int):
     """Flat-layout gather: xs3 (N, T, U*V), loc (N, T, U) -> (N, T, U, 2).
 
-    The flat (N, T, U*V) layout is the native form for >4 GiB operands: a
-    4D (N, T, U, V) array pays a full relayout copy to reach the fast flat
-    gather (in-graph reshape measured 10.6 ms vs 5.3 ms on a natively-3D
-    operand at N=128, V=5000 — see `_FLAT3D_BYTES`).  Callers that produce
-    the lattice above the cliff should produce it flat and use this entry
-    (the public `rnnt_loss` accepts 3D log_probs and routes here).
+    The flat (N, T, U*V) layout serves callers whose producer emits the
+    lattice flat (the public `rnnt_loss` accepts 3D log_probs and routes
+    here).  Measured end-to-end at the >4 GiB cliff (N=128, T=150, V=5000,
+    loss+grad, donated): flat 23.3 ms vs 4D 22.6 — both at the same
+    gather+write floor (see `_FLAT3D_BYTES` notes), so neither layout needs
+    a relayout to reach the other's speed.
+
+    TPU layout contract: under jit, pin row-major layouts on the flat
+    log_probs parameter and the gradient output
+    (``jax.experimental.layout.Format(Layout((0, 1, 2)), sharding)``) when
+    the parameter feeds this loss directly — at an isolated jit boundary
+    XLA otherwise picks a {0,2,1} layout for the gather and reconciles with
+    full-tensor transpose copies against the row-major Mosaic grad writer
+    (measured 47-72 ms; `scripts/exp_flat_alias.py`).  Producers inside the
+    same jit (matmul/log_softmax) are row-major already.
 
     The VJP is the same dense compare-select write as `gather_blank_label`,
     emitted directly in flat coordinates by a Pallas kernel on TPU
-    (`ops/flat_kernels.flat_grad_write`) — expressing it over the logical
-    4D view and reshaping forces a relayout copy of the full operand
-    (measured +46 ms on the 7.5 GB N=128, V=5000 row).
+    (`ops/flat_kernels.flat_grad_write`), aliased in place into the
+    (donated) log_probs buffer — expressing it over the logical 4D view and
+    reshaping forces a relayout copy of the full operand (measured +46 ms
+    on the 7.5 GB N=128, V=5000 row).
 
     Contract: ``loc`` must be frame-invariant (loc[:, t] identical for all
     t — the production index construction broadcasts per-sample labels over
@@ -144,19 +160,26 @@ def gather_blank_label_flat(xs3, loc, blank: int, V: int):
 # Flat-VJP backend: None = auto (Pallas flat writer on TPU), tests force it.
 _FORCE_FLAT_KERNEL = None
 
+# Alias the flat writer's output into the log_probs buffer (see
+# flat_kernels.flat_grad_write).  Module-level so experiments can A/B it.
+_FLAT_ALIAS = True
+
 
 def _gather_flat_fwd(xs3, loc, blank, V):
     dtype_tag = jnp.zeros((0,), xs3.dtype)
     T = loc.shape[1]
-    # loc is frame-invariant by contract (see gather_blank_label_flat)
+    # loc is frame-invariant by contract (see gather_blank_label_flat).
+    # xs3 itself rides along as a residual purely as an ALIAS TARGET for the
+    # Pallas grad writer (never read there); on the fallback path it is dead
+    # and DCE'd out of the saved residuals.
     return gather_blank_label_flat(xs3, loc, blank, V), (loc[:, 0, :], T,
-                                                         dtype_tag)
+                                                         dtype_tag, xs3)
 
 
 def _gather_flat_bwd(blank, V, res, ct):
     from warp_rnnt_tpu.ops import flat_kernels
 
-    loc_rows, T, dtype_tag = res
+    loc_rows, T, dtype_tag, xs3 = res
     N, U = loc_rows.shape
     use_kernel = _FORCE_FLAT_KERNEL
     if use_kernel is None:
@@ -168,6 +191,10 @@ def _gather_flat_bwd(blank, V, res, ct):
         d3 = flat_kernels.flat_grad_write(
             ct[..., 0], ct[..., 1], loc_rows, blank, V, U * V,
             out_dtype=dtype_tag.dtype,
+            # in-place into the (donated) log_probs buffer: a custom-call
+            # output cannot otherwise satisfy jit donation and XLA copies
+            # the full 7.5 GB result (see flat_kernels.flat_grad_write)
+            out_alias=xs3 if _FLAT_ALIAS else None,
         )
         return d3, None
     v_iota = jnp.arange(V, dtype=jnp.int32).reshape(1, 1, 1, V)

@@ -117,10 +117,25 @@ def _flat_write_kernel(u0_ref, ct0_ref, ct1_ref, loc_ref, out_ref,
 
 
 def flat_grad_write(ct0, ct1, loc_rows, blank: int, V: int, UV: int,
-                    out_dtype=jnp.float32, interpret: bool | None = None):
+                    out_dtype=jnp.float32, interpret: bool | None = None,
+                    out_alias=None):
     """(N, T, U) blank/label cotangents -> flat (N, T, U*V) gradient.
 
     loc_rows: (N, U) int32 frame-invariant label indices (< V).
+
+    out_alias: optional (N, T, U*V) array of ``out_dtype`` whose buffer the
+    kernel writes in place (`input_output_aliases`; the operand is never
+    read — every output block is fully overwritten).  Production callers
+    pass the flat log_probs the gradient is *for*: at the >4 GiB scale this
+    path exists for, training steps donate the log_probs, and without the
+    alias XLA cannot satisfy that donation from an opaque custom-call
+    result — it inserts a full copy of the output into the donated buffer
+    (measured +24.7 ms on the 7.5 GB N=128, V=5000 row: 47.3 ms loss+grad
+    vs 22.6 for the plain 4D path whose grad write is a fusion, which CAN
+    write donated buffers in place).  With the alias the custom call writes
+    the donated buffer directly.  When the caller does *not* donate, XLA
+    protects the operand with exactly the copy it would otherwise append —
+    aliasing never loses.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -136,27 +151,43 @@ def flat_grad_write(ct0, ct1, loc_rows, blank: int, V: int, UV: int,
     loc8 = jnp.broadcast_to(
         loc_rows.astype(jnp.int32)[:, None, :], (N, 8, U)
     )
+    in_specs = [
+        pl.BlockSpec((BN, BT, U), lambda n, t, j, *_: (n, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BN, BT, U), lambda n, t, j, *_: (n, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BN, 8, U), lambda n, t, j, *_: (n, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(
+        _flat_write_kernel, blank=blank, V=V, BJ=BJ, U=U
+    )
+    operands = [u0s, ct0.astype(jnp.float32), ct1.astype(jnp.float32), loc8]
+    aliases = {}
+    if out_alias is not None:
+        assert out_alias.shape == (N, T, UV) and out_alias.dtype == out_dtype
+        # stays in HBM (pl.ANY): its buffer IS the output; no DMA, no read
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(out_alias)
+        body = kernel
+
+        def kernel(u0_ref, ct0_ref, ct1_ref, loc_ref, alias_ref, out_ref):
+            del alias_ref
+            body(u0_ref, ct0_ref, ct1_ref, loc_ref, out_ref)
+
+        aliases = {4: 0}  # operand index counts the scalar-prefetch arg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NN, TT, JJ),
-        in_specs=[
-            pl.BlockSpec((BN, BT, U), lambda n, t, j, *_: (n, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, BT, U), lambda n, t, j, *_: (n, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, 8, U), lambda n, t, j, *_: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BN, BT, BJ), lambda n, t, j, *_: (n, t, j),
                                memory_space=pltpu.VMEM),
-    )
-    kernel = functools.partial(
-        _flat_write_kernel, blank=blank, V=V, BJ=BJ, U=U
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, T, UV), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(u0s, ct0.astype(jnp.float32), ct1.astype(jnp.float32), loc8)
+    )(*operands)
