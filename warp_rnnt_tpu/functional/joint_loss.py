@@ -88,16 +88,34 @@ def _pre_projections(f, g, params, mode):
     return a, c
 
 
-def _project_out(h, params):
-    """tanh(h) @ w_out + b_out in bf16/fp32-accum over the last dim."""
+def _project_out(a, c, params, combine):
+    """logits = tanh(combine(a, c)) @ w_out + b_out, bf16 MXU / fp32 accum.
+
+    ``combine`` builds the per-cell hidden tensor from the two small
+    pre-projections (broadcast add for the padded layout, row gathers for
+    the compact one).  The whole combine -> tanh -> project chain is
+    rematerialized in the backward (`jax.checkpoint` over a function of
+    only a and c): the tanh stays fp32 (same numerics as the fused
+    kernel's in-VMEM fp32 tanh) but autodiff's residuals shrink from the
+    fp32 (N, T, U, H) tanh output — a full extra HBM round-trip of the
+    largest tensor in the step, measured +1.0 ms at T=150, U=40, H=256,
+    N=16 where the whole step is 0.4 ms — to just a and c; the backward
+    re-derives the bf16 matmul operand from them (the logits matmul
+    itself is dead code in the rematerialized graph and DCE'd)."""
     w_out, b_out = params["w_out"], params["b_out"]
-    z = jax.lax.dot_general(
-        jnp.tanh(h).astype(jnp.bfloat16).reshape(-1, h.shape[-1]),
-        w_out.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(h.shape[:-1] + (w_out.shape[1],))
-    return z + b_out.astype(jnp.float32)
+
+    @jax.checkpoint
+    def project(a, c):
+        h = combine(a, c)
+        z = jax.lax.dot_general(
+            jnp.tanh(h).astype(jnp.bfloat16).reshape(-1, h.shape[-1]),
+            w_out.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(h.shape[:-1] + (w_out.shape[1],))
+        return z + b_out.astype(jnp.float32)
+
+    return project(a, c)
 
 
 def pack_joint_metadata(frames_lengths, labels_lengths):
@@ -172,7 +190,9 @@ def rnnt_loss_joint(
         )
     a, c = _pre_projections(f, g, params, mode)
     if layout == "padded":
-        logits = _project_out(a[:, :, None, :] + c[:, None, :, :], params)
+        logits = _project_out(
+            a, c, params, lambda a, c: a[:, :, None, :] + c[:, None, :, :]
+        )
         return rnnt_loss_from_logits(
             logits, labels, frames_lengths, labels_lengths,
             average_frames=average_frames, reduction=reduction, blank=blank,
@@ -187,7 +207,9 @@ def rnnt_loss_joint(
             jnp.asarray(labels)[i, : int(yn_h[i])]
             for i in range(len(yn_h))
         ] or [jnp.zeros(0, jnp.int32)])
-        rows = _project_out(a[n_idx, t_idx] + c[n_idx, u_idx], params)
+        rows = _project_out(
+            a, c, params, lambda a, c: a[n_idx, t_idx] + c[n_idx, u_idx]
+        )
         log_probs = jax.nn.log_softmax(rows, axis=-1)
         T = int(np.asarray(frames_lengths).max())
         U = int(yn_h.max())
