@@ -49,6 +49,16 @@ def _load():
 def _save(data):
     json.dump(data, open(OUT, "w"), indent=1)
     print(f"wrote {OUT}", flush=True)
+    _rerender()
+
+
+def _rerender():
+    """Re-render RESULTS.md after every save so the committed document can
+    never drift from the data (round-4 verdict weak #2)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import render_results
+
+    render_results.main()
 
 
 JOINT_MODES = ("log_softmax+gather", "from_logits", "compact", "fused")

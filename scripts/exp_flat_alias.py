@@ -54,13 +54,11 @@ def main():
     if donate:
         kw["donate_argnums"] = 0
     if pin:
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
+        from warp_rnnt_tpu import flat_arg_formats
 
-        rm = Format(Layout((0, 1, 2)),  # major-to-minor: row-major
-                    SingleDeviceSharding(jax.devices()[0]))
+        rm, grad_fmt = flat_arg_formats()
         kw["in_shardings"] = rm
-        kw["out_shardings"] = (None, rm)
+        kw["out_shardings"] = (None, grad_fmt)
     step = jax.jit(loss_vg, **kw)
     compiled = step.lower(xs).compile()
     hlo = compiled.as_text()

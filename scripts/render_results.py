@@ -4,11 +4,16 @@ Usage: python scripts/render_results.py [in.json] [out.md]
 """
 
 import json
+import os
 import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(in_path="benchmarks_results.json",
          out_path="warp_rnnt_tpu/benchmarks/RESULTS.md"):
+    in_path = os.path.join(ROOT, in_path)
+    out_path = os.path.join(ROOT, out_path)
     data = json.load(open(in_path))
     lines = [
         "# Benchmark results — reference README table on TPU",
@@ -84,7 +89,7 @@ def main(in_path="benchmarks_results.json",
         "scan 22.1 ms (`scripts/bench_kernels.py`).",
     ]
     try:
-        e2e = json.load(open("benchmarks_endtoend.json"))
+        e2e = json.load(open(os.path.join(ROOT, "benchmarks_endtoend.json")))
     except FileNotFoundError:
         e2e = None
     if e2e:

@@ -299,3 +299,48 @@ def test_flat_grad_write_alias_never_read():
     ct = np.stack([np.asarray(ct0), np.asarray(ct1)], axis=-1)
     want = _flat_reference(ct, np.asarray(loc_rows), 7, V, N, T, U)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
+
+
+def test_flat_arg_formats_pins_row_major():
+    """The public layout-pinning helper (README "flat layout" one-liner):
+    returns row-major Formats, jits cleanly as in_/out_shardings, and the
+    compiled program contains no full-tensor transpose/relayout of the flat
+    operand (the 47-72 ms trap `scripts/exp_flat_alias.py` diagnosed)."""
+    import re
+
+    from jax.experimental.layout import Layout
+
+    from warp_rnnt_tpu import flat_arg_formats, rnnt_loss
+
+    arg_fmt, grad_fmt = flat_arg_formats()
+    assert arg_fmt.layout == Layout((0, 1, 2))
+    assert grad_fmt.layout == Layout((0, 1, 2))
+
+    rng = np.random.RandomState(3)
+    N, T, U, V = 2, 6, 4, 40
+    xs3 = jnp.asarray(rng.randn(N, T, U * V).astype(np.float32))
+    ys = jnp.asarray(rng.randint(1, V, size=(N, U - 1)).astype(np.int32))
+    xn = jnp.full((N,), T, jnp.int32)
+    yn = jnp.full((N,), U - 1, jnp.int32)
+
+    def loss_vg(x):
+        return jax.value_and_grad(
+            lambda z: rnnt_loss(z, ys, xn, yn, reduction="mean", gather=True)
+        )(x)
+
+    step = jax.jit(loss_vg, in_shardings=arg_fmt,
+                   out_shardings=(None, grad_fmt))
+    compiled = step.lower(xs3).compile()
+    cost, grad = step(xs3)
+    cost4, grad4 = jax.jit(loss_vg)(xs3)
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(cost4), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad4), rtol=1e-6)
+
+    big = rf"f32\[{N},{T},{U * V}\]"
+    for line in compiled.as_text().splitlines():
+        ls = line.strip()
+        op = ls.split(" = ")[0]
+        if re.search(big, ls.split(" = ")[-1][:40]) and (
+            "transpose" in op or "copy" in op
+        ):
+            raise AssertionError(f"full-tensor relayout in pinned HLO: {ls}")

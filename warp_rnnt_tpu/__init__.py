@@ -7,6 +7,7 @@ parallelism over device meshes, plus models/benchmarks/tests.
 """
 
 from warp_rnnt_tpu.functional import (
+    flat_arg_formats,
     rnnt_alignment,
     rnnt_core,
     rnnt_core_with_internals,
@@ -21,6 +22,7 @@ from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
 __version__ = "0.1.0"
 
 __all__ = [
+    "flat_arg_formats",
     "rnnt_alignment",
     "rnnt_core",
     "rnnt_core_with_internals",

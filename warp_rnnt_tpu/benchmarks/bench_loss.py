@@ -115,23 +115,18 @@ def run_loss_bench(N, T, U, V, iters, grad=True, impl="auto",
         # process (run_table flips donate=False on retry).
         kw = {"donate_argnums": 0} if donate else {}
         if flat:
-            # Pin row-major {2,1,0} layouts on the log-prob parameter and
-            # the gradient output.  At an isolated jit boundary whose param
-            # feeds only gathers, XLA otherwise picks {0,2,1} — and the
-            # Mosaic flat grad writer constrains row-major, so XLA
-            # reconciles with full-tensor transpose copies (measured 71.8 ms
-            # loss+grad vs 23.1 pinned at N=128, V=5000; compile-only
-            # evidence in scripts/exp_flat_alias.py).  Any realistic
-            # producer (matmul/log_softmax in the same jit) is row-major
-            # already; the pin models that.
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
+            # Pin row-major layouts on the log-prob parameter and the
+            # gradient output via the public helper (otherwise XLA picks
+            # {0,2,1} at an isolated jit boundary and reconciles with the
+            # row-major Mosaic grad writer through full-tensor transpose
+            # copies — measured 71.8 ms loss+grad vs 23.1 pinned at N=128,
+            # V=5000; see `flat_arg_formats` and scripts/exp_flat_alias.py).
+            from warp_rnnt_tpu import flat_arg_formats
 
-            rm = Format(Layout((0, 1, 2)),
-                        SingleDeviceSharding(jax.devices()[0]))
-            kw["in_shardings"] = rm
-            kw["out_shardings"] = (None, rm)
-            xs = jax.jit(lambda a: a, out_shardings=rm)(xs)
+            arg_fmt, grad_fmt = flat_arg_formats()
+            kw["in_shardings"] = arg_fmt
+            kw["out_shardings"] = (None, grad_fmt)
+            xs = jax.jit(lambda a: a, out_shardings=arg_fmt)(xs)
         step = jax.jit(loss_vg, **kw)
         return bench_grad_chain(step, xs, iters)
 

@@ -101,6 +101,40 @@ def _use_flat3d(xs, loc):
     return size * xs.dtype.itemsize > _FLAT3D_BYTES
 
 
+def flat_arg_formats(device=None, sharding=None):
+    """Row-major layout pins for the flat (N, T, (U+1)*V) loss arguments.
+
+    Returns ``(arg_format, grad_format)`` — two identical row-major
+    `jax.experimental.layout.Format`s — for pinning the flat log-prob
+    parameter and its gradient output at a jit boundary:
+
+        arg_fmt, grad_fmt = warp_rnnt_tpu.flat_arg_formats()
+        step = jax.jit(loss_vg, donate_argnums=0,
+                       in_shardings=arg_fmt, out_shardings=(None, grad_fmt))
+
+    Why this exists: when the flat tensor is a jit PARAMETER that feeds only
+    gathers, XLA picks a {0,2,1} parameter layout, while the Mosaic flat
+    grad writer (`ops/flat_kernels.flat_grad_write`) constrains row-major
+    operands/results — XLA reconciles with full-tensor transpose copies
+    (measured 47-72 ms loss+grad vs 23.1 pinned at the N=128, V=5000 cliff;
+    `scripts/exp_flat_alias.py`).  Producers inside the same jit
+    (matmul/log_softmax) are row-major already and don't need this; the pin
+    makes an isolated loss jit safe by default, mirroring the reference's
+    contract that the large-V path needs no user-side layout care
+    (`core_gather.cu:359-388`).
+
+    ``sharding`` (or ``device``) selects placement; defaults to the first
+    local device.
+    """
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    if sharding is None:
+        sharding = SingleDeviceSharding(device or jax.devices()[0])
+    fmt = Format(Layout((0, 1, 2)), sharding)  # major-to-minor: row-major
+    return fmt, fmt
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_blank_label(xs, loc, blank: int):
     """xs (..., V), loc (...,) int32 -> (..., 2): [blank entry, loc entry]."""
