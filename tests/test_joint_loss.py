@@ -112,3 +112,41 @@ def test_unknown_layout_raises():
     f, g, params, ys, xn, yn = _setup()
     with pytest.raises(ValueError, match="unknown layout"):
         rnnt_loss_joint(f, g, params, ys, xn, yn, layout="nope")
+
+
+def test_auto_route_is_lowering_time_per_platform(monkeypatch):
+    """layout="auto" above the fused boundary resolves the platform at
+    LOWERING time (round-4 verdict item 3): a ("tpu",) export carries the
+    fused Mosaic kernel, a ("cpu",) export of the SAME call carries none
+    and executes as the padded program — so multi-platform artifacts can
+    never bake the export host's backend answer."""
+    from warp_rnnt_tpu.functional import joint_loss
+
+    # shrink the boundary so the tiny test shape routes "fused on tpu"
+    monkeypatch.setattr(joint_loss, "_FUSED_LOGITS_BYTES", 1)
+    f, g, params, ys, xn, yn = _setup()
+    assert joint_layout_route(10, 4, 16, 33, platform="tpu") == "fused"
+    assert joint_layout_route(10, 4, 16, 33, platform="cpu") == "padded"
+
+    def fn(f, g, params):
+        return rnnt_loss_joint(f, g, params, ys, xn, yn, layout="auto")
+
+    exp_tpu = jax.export.export(jax.jit(fn), platforms=("tpu",))(
+        f, g, params
+    )
+    assert "tpu_custom_call" in exp_tpu.mlir_module()
+
+    exp_cpu = jax.export.export(jax.jit(fn), platforms=("cpu",))(
+        f, g, params
+    )
+    assert "tpu_custom_call" not in exp_cpu.mlir_module()
+    want = np.asarray(
+        rnnt_loss_joint(f, g, params, ys, xn, yn, layout="padded")
+    )
+    np.testing.assert_allclose(
+        np.asarray(exp_cpu.call(f, g, params)), want, rtol=1e-3, atol=5e-3
+    )
+
+    # plain jit on the cpu backend prunes the Mosaic branch and runs padded
+    got = np.asarray(jax.jit(fn)(f, g, params))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)

@@ -242,6 +242,106 @@ def rnnt_loss_fused_joint(
         return tf.reduce_mean(costs)
 
 
+@functools.lru_cache(maxsize=16)
+def _graph_joint_padded(N: int, T: int, U: int, F: int, Fp: int, V: int,
+                        blank: int, fastemit_lambda: float, mode: str,
+                        tpu: bool):
+    """jax2tf conversion of the padded joint+loss branch (the exact
+    `Joint.apply + rnnt_loss_from_logits` program, `functional/joint_loss`).
+    Serialized single-platform (tpu or cpu) so the DP core's
+    `impl="platform"` dispatch keeps only that platform's lowering — the
+    same pattern as `_graph_fused`."""
+    from jax.experimental import jax2tf
+
+    from warp_rnnt_tpu.functional.joint_loss import rnnt_loss_joint as _jl
+
+    def fn(f, g, w_pre, b_pre, w_out, b_out, labels, xn, yn):
+        params = dict(w_pre=w_pre, b_pre=b_pre, w_out=w_out, b_out=b_out)
+        return _jl(f, g, params, labels, xn, yn, reduction="none",
+                   blank=blank, fastemit_lambda=fastemit_lambda, mode=mode,
+                   layout="padded", impl="platform")
+
+    return jax2tf.convert(
+        fn,
+        with_gradient=True,
+        native_serialization_platforms=("tpu",) if tpu else ("cpu",),
+    )
+
+
+def rnnt_loss_joint(
+    f,
+    g,
+    params: dict,
+    labels,
+    frames_lengths,
+    labels_lengths,
+    average_frames: bool = False,
+    reduction=None,
+    blank: int = 0,
+    fastemit_lambda: float = 0.0,
+    mode: str = "add",
+    tpu: bool | None = None,
+):
+    """Auto-routed joint network + RNN-T loss for TF users.
+
+    The TF face of `warp_rnnt_tpu.functional.joint_loss.rnnt_loss_joint`
+    (reference framework-parity axis: `tensorflow_binding/warp_rnnt_tf/
+    __init__.py:80-131`): one surface that executes as the fused joint+loss
+    Pallas kernel or the padded from-logits pipeline, whichever
+    `joint_layout_route` measures as the winner for this shape and target
+    platform — the user never hand-picks a lattice layout.
+
+    f (N, T, F) encoder outputs, g (N, U, F') predictor outputs,
+    ``params = dict(w_pre, b_pre, w_out, b_out)`` as TF tensors/variables;
+    gradients flow to f, g and all four parameters through the staged
+    StableHLO module.
+
+    tpu: None auto-selects from visible TF devices; the choice picks BOTH
+    the route (fused only ever wins on tpu) and the single-platform
+    serialization (a tpu artifact embeds the Mosaic kernels).  All dims
+    must be static (one cached conversion per geometry).
+    """
+    assert reduction is None or reduction in ("none", "mean", "sum")
+    if tpu is None:
+        tpu = bool(tf.config.list_logical_devices("TPU"))
+    for ten in (f, g):
+        if ten.shape.rank != 3 or None in ten.shape:
+            raise ValueError(
+                "rnnt_loss_joint needs fully static f/g shapes"
+                f" (got {ten.shape})"
+            )
+    from warp_rnnt_tpu.functional.joint_loss import joint_layout_route
+
+    N, T, F = (int(d) for d in f.shape)
+    U = int(g.shape[1])
+    Fp = int(g.shape[2])
+    H = int(params["w_out"].shape[0])
+    V = int(params["w_out"].shape[1])
+    layout = joint_layout_route(T, U, H, V, N,
+                                platform="tpu" if tpu else "cpu")
+    if layout == "fused":
+        return rnnt_loss_fused_joint(
+            f, g, params, labels, frames_lengths, labels_lengths,
+            average_frames=average_frames, reduction=reduction, blank=blank,
+            fastemit_lambda=fastemit_lambda, mode=mode, tpu=tpu,
+        )
+    core = _graph_joint_padded(N, T, U, F, Fp, V, blank,
+                               float(fastemit_lambda), mode, bool(tpu))
+    costs = core(
+        f, g, params["w_pre"], params["b_pre"], params["w_out"],
+        params["b_out"], tf.cast(labels, tf.int32),
+        tf.cast(frames_lengths, tf.int32),
+        tf.cast(labels_lengths, tf.int32),
+    )
+    if average_frames:
+        costs = costs / tf.cast(frames_lengths, costs.dtype)
+    if reduction in (None, "none"):
+        return costs
+    if reduction == "sum":
+        return tf.reduce_sum(costs)
+    return tf.reduce_mean(costs)
+
+
 def transducer_loss_graph(log_probs, labels, frames_lengths, labels_lengths,
                           blank: int = 0, fastemit_lambda: float = 0.0,
                           platforms=None):
