@@ -227,6 +227,16 @@ def main(in_path="benchmarks_results.json",
                 f"**{lr['loss_grad_ms']:.2f} ms**, fwd {lr['fwd_ms']:.2f} ms"
                 + hist + ".",
             ]
+        sc = e2e.get("scaling")
+        if sc:
+            lines += [
+                "- Data-parallel scaling (`benchmarks/bench_scaling.py`): "
+                "virtual 8-device CPU mesh run recorded (harness + sharded "
+                "compile/execute proven; throughput is flat on the single "
+                "shared host core by construction). The >=90% BASELINE "
+                "efficiency target is **pending a real pod slice** — one "
+                "command there.",
+            ]
         tr = e2e["train_step"]
         tcfg = tr["config"]
         best = min(tr["rows"], key=lambda r: r["step_ms"])
