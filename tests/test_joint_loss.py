@@ -123,7 +123,7 @@ def test_auto_route_is_lowering_time_per_platform(monkeypatch):
     from warp_rnnt_tpu.functional import joint_loss
 
     # shrink the boundary so the tiny test shape routes "fused on tpu"
-    monkeypatch.setattr(joint_loss, "_FUSED_LOGITS_BYTES", 1)
+    monkeypatch.setattr(joint_loss, "_FUSED_MIN_V", 1)
     f, g, params, ys, xn, yn = _setup()
     assert joint_layout_route(10, 4, 16, 33, platform="tpu") == "fused"
     assert joint_layout_route(10, 4, 16, 33, platform="cpu") == "padded"

@@ -6,13 +6,14 @@ wins (`/root/reference/pytorch_binding/benchmark2.py:129-164`).  On TPU the
 winner depends on the shape regime (measured, benchmarks_endtoend.json
 `joint_loss_backward_by_config`):
 
-  * the fused joint+loss Pallas kernel (`ops/fused_joint.py`) wins once
-    the logits tensor the padded pipeline would materialize is large (its
-    HBM round-trips dominate): 2.9 ms vs 15.6 from-logits vs 5.0 compact
-    at N=16, T=150, U=20, V=5000, H=256 — and a ~190x program-HBM drop;
-  * below that (tiny-V, lattice-bound steps) padded from-logits wins
-    (0.38 ms vs fused 0.52 at T=150, U=40, V=28 — the kernel pads V to 128
-    lanes and recomputes the tanh in fp32);
+  * the fused joint+loss Pallas kernel (`ops/fused_joint.py`) wins at
+    every measured shape with V >= 50 (2.9 ms vs 15.6 from-logits vs 5.0
+    compact at N=16, T=150, U=20, V=5000, H=256 — and a ~190x program-HBM
+    drop; still 9-105% ahead across the V=64..2048, H=256..512 sweep,
+    `benchmarks_endtoend.json: fused_padded_crossover`);
+  * at genuinely tiny vocabularies (V=28: 0.37 vs fused 0.52) padded
+    from-logits wins — the kernel pads V to 128 lanes, wasting >4x MXU
+    work on a latency-bound step;
   * compact (packed) sits between them when V dominates the padded tensor,
     and loses badly at tiny-V/huge-lattice shapes where per-row packed
     indexing dominates the step.
@@ -42,15 +43,22 @@ from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
 from warp_rnnt_tpu.functional.loss import rnnt_loss
 
 
-# Auto-route boundary: the fused kernel wins once the materialized logits
-# tensor is large enough that its HBM round-trips dominate the step; below
-# it the step is lattice-DP/latency-bound and the kernel's V->128 padding
-# and fp32 tanh recompute cost more than they save.  Measured
-# (benchmarks_endtoend.json joint_loss_backward_by_config, N=16, H=256):
-# at 11 MB logits (T=150,U=40,V=28) from-logits 0.38 ms beats fused 0.52;
-# at 252 MB (T=150,U=20,V=5000) fused 2.90 beats 15.6; the boundary is
-# placed at the geometric middle of the measured bracket.
-_FUSED_LOGITS_BYTES = 48 << 20
+# Auto-route boundary, measured (benchmarks_endtoend.json
+# `fused_padded_crossover` sweep at N=16, T=150, U=20 + the by_config
+# table): the fused kernel wins at EVERY measured shape with V >= 50 —
+# 0.269 vs 0.294 ms already at V=64, H=256 (12.3 MB logits), 23.9 vs 46.2
+# at T=1500, U=300, V=50, growing to 5.1x at V=2048 and WITH H (H=512,
+# V=128: 0.336 vs 0.690 — the padded pipeline's (N,T,U,H)-sized tanh
+# round-trips scale with H while the kernel's stay in VMEM).  The one
+# measured padded win is V=28 (0.366 vs 0.517): below ~1/3 of the 128-lane
+# tile the kernel wastes >4x MXU work on V-padding while the whole step is
+# latency-bound.  The boundary sits mid-bracket between the measured
+# padded-win at V=28 and fused-win at V=50.  Logits BYTES were the wrong
+# model (round-4's 48 MB rule routed V=64..256 mid-H shapes to padded,
+# measured up to 2.1x slower than fused there): both pipelines' costs
+# scale together with N*T*U, so the decision reduces to per-cell work —
+# V's position against the 128-lane tile — not tensor volume.
+_FUSED_MIN_V = 40
 
 
 def joint_layout_route(T: int, U: int, H: int, V: int, N: int = 1,
@@ -58,20 +66,23 @@ def joint_layout_route(T: int, U: int, H: int, V: int, N: int = 1,
     """The measured routing policy for `layout="auto"`, per platform.
 
     ``platform`` names the LOWERING platform the choice is for (not the
-    trace-time host): "tpu" picks "fused" once the logits tensor the padded
-    pipeline would materialize exceeds `_FUSED_LOGITS_BYTES` (where avoiding
-    its HBM round-trips pays), else "padded" (from-logits); every other
+    trace-time host): "tpu" picks "fused" from `_FUSED_MIN_V` up (the
+    measured fused-win region), else "padded" (from-logits); every other
     platform is always "padded" — the fused kernel would run under the
     Pallas interpreter.  `rnnt_loss_joint(layout="auto")` resolves the
     platform at lowering time via `jax.lax.platform_dependent` (mirroring
     `functional/core._PlatformDispatch`), so multi-platform `jax.export` /
     jax2tf artifacts bake the right branch per platform instead of the
     export host's answer.  U counts lattice rows (labels + 1).
+
+    T/U/H/N are accepted for API stability but do not currently move the
+    boundary: measured costs of both pipelines scale together with N*T*U,
+    and growing H only widens the fused win (see `_FUSED_MIN_V`).
     """
+    del T, U, H, N
     if platform != "tpu":
         return "padded"
-    logits_bytes = 4 * N * T * U * V
-    return "fused" if logits_bytes >= _FUSED_LOGITS_BYTES else "padded"
+    return "fused" if V >= _FUSED_MIN_V else "padded"
 
 
 def _pre_projections(f, g, params, mode):
