@@ -139,3 +139,21 @@ def test_dedup_improves_or_preserves_brute_force_exactness():
     _, _, sc = beam_decode(model, params, feats, xn, max_length=2,
                            beam_size=8, max_symbols_per_step=2)
     np.testing.assert_allclose(float(sc[0]), best, rtol=2e-5, atol=2e-5)
+
+
+def test_top_k_small_matches_lax_top_k():
+    """The iterative-argmax top-k (the TPU sort-free replacement, see
+    benchmarks_endtoend.json:decode.ablation) is exact: values AND indices
+    match lax.top_k, including lowest-index tie-breaks and NEG sentinels."""
+    from warp_rnnt_tpu.models.beam_search import NEG, _top_k_small
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 3, 29))
+    # inject ties and dead-beam sentinel values
+    x = x.at[0, 0, 4].set(x[0, 0, 17])
+    x = x.at[1, :, :].set(NEG)
+    x = x.at[2, 1, 5:].set(NEG)
+    for k in (1, 2, 4, 7):
+        v_ref, i_ref = jax.lax.top_k(x, k)
+        v, i = _top_k_small(x, k)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))

@@ -24,7 +24,10 @@ Algorithm (time-synchronous decoding per sample, in the family of Graves
 The sequential op count is max-over-samples of (frames + emission rounds)
 instead of frames x (global expansion rounds + 1): measured 289 -> 91.8 ms
 per batch at N=32, T=400, V=1024, beam=4 (and greedy 11.9 -> 5.4 ms from
-the same per-sample frame pointers; see benchmarks_endtoend.json:decode).
+the same per-sample frame pointers), then 91.8 -> 28.9 ms from replacing
+`lax.top_k` (a full V-axis sort on TPU for k >= 2) with `_top_k_small`'s
+iterative argmax — see benchmarks_endtoend.json:decode and its recorded
+ablation.
 
 Duplicate hypotheses (identical label prefixes reached via different
 expansion orders) are MAX-merged after every selection — the better-scored
@@ -45,6 +48,30 @@ import jax.numpy as jnp
 
 NEG = -1.0e30
 _HASH_MUL = 1000003
+
+
+def _top_k_small(x, k):
+    """Exact top-k over the trailing axis for SMALL k, as k argmax passes.
+
+    `lax.top_k` with k >= 2 lowers to a full sort of the axis on TPU —
+    ~55 bitonic compare-exchange passes at V=1024 — and that sort was the
+    beam loop's whole budget: the decode ablation (scripts/
+    exp_beam_ablate.py) measured 27 us/iteration at beam=1 (where XLA
+    rewrites top-k to argmax) vs 177 us at beam=2 (where the sort first
+    appears), with beam=4 adding only 7 more.  k successive
+    (argmax, mask) rounds are k cheap VPU reductions instead, exact for
+    any k.  Already-selected entries are masked to -inf so finite values
+    (including the NEG dead-beam sentinel) are never out-ranked by a
+    duplicate pick, matching `lax.top_k`'s distinct-index contract.
+    """
+    vals, ids = [], []
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(x, i[..., None], -1)[..., 0])
+        ids.append(i)
+        x = jnp.where(iota == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, -1), jnp.stack(ids, -1)
 
 
 def beam_decode(model, params, feats, xn, max_length: int,
@@ -126,13 +153,13 @@ def beam_decode(model, params, feats, xn, max_length: int,
         V = logp.shape[-1]
         K = min(B, V - 1)
         lab_logp = logp.at[..., blank].set(NEG)
-        top_lp, top_ids = jax.lax.top_k(lab_logp, K)  # (N, B, K)
+        top_lp, top_ids = _top_k_small(lab_logp, K)  # (N, B, K)
         lab_scores = jnp.where(
             expandable[..., None], scores[..., None] + top_lp, NEG
         )
         cand = jnp.concatenate([settle[..., None], lab_scores], -1)
 
-        new_scores, sel = jax.lax.top_k(cand.reshape(N, B * (K + 1)), B)
+        new_scores, sel = _top_k_small(cand.reshape(N, B * (K + 1)), B)
         parent = (sel // (K + 1)).astype(jnp.int32)  # (N, B)
         kind = (sel % (K + 1)).astype(jnp.int32)  # 0 = blank/self
 
