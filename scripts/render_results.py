@@ -248,6 +248,9 @@ def main(in_path="benchmarks_results.json",
             f"= {best['utts_per_s']:.0f} utts/s** on one chip "
             "(`benchmarks/bench_train.py`).",
         ]
+        prof = tr.get("profile")
+        if prof:
+            lines += ["  " + prof["summary"]]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path} ({len(data['rows'])} rows)")
