@@ -55,7 +55,9 @@ def _save(data):
 def _rerender():
     """Re-render RESULTS.md after every save so the committed document can
     never drift from the data (round-4 verdict weak #2)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
     import render_results
 
     render_results.main()

@@ -41,10 +41,12 @@ def main():
     feats = jax.random.normal(jax.random.PRNGKey(1), (N, T, 80))
     xn = jnp.full((N,), T, jnp.int32)
 
-    def count_steps(beam_size, max_sym):
-        """Trip count of the beam loop: wrap while_loop to tally
-        iterations (patching the shared jax.lax attribute around the one
-        trace)."""
+    def count_trips(decode):
+        """Trip count of a decoder's while loop: wrap jax.lax.while_loop to
+        tally iterations (patching the shared attribute around the one
+        trace).  The counter records the LAST while_loop traced — today's
+        decoders contain exactly one; revisit if a decoder ever gains a
+        second (e.g. a while-lowered predictor)."""
         orig_while = jax.lax.while_loop
         counter = {}
 
@@ -59,10 +61,7 @@ def main():
 
         try:
             jax.lax.while_loop = counting_while
-            beam_search.beam_decode(
-                model, params, feats, xn, max_length=L,
-                beam_size=beam_size, max_symbols_per_step=max_sym,
-            )
+            decode()
         finally:
             jax.lax.while_loop = orig_while
         return int(counter["steps"])
@@ -88,29 +87,14 @@ def main():
     # greedy trip count for the per-iteration comparison
     for name, B, msym in (("beam4", 4, 4), ("beam4-cap1", 4, 1),
                           ("beam1", 1, 4)):
-        print(f"steps[{name}] = {count_steps(B, msym)}", flush=True)
+        print(f"steps[{name}] = " + str(count_trips(
+            lambda B=B, m=msym: beam_search.beam_decode(
+                model, params, feats, xn, max_length=L,
+                beam_size=B, max_symbols_per_step=m))), flush=True)
 
-    def count_greedy():
-        orig_while = jax.lax.while_loop
-        counter = {}
-
-        def counting_while(cond, body, init):
-            out = orig_while(
-                lambda s: cond(s[1]),
-                lambda s: (s[0] + 1, body(s[1])),
-                (jnp.zeros((), jnp.int32), init),
-            )
-            counter["steps"] = out[0]
-            return out[1]
-
-        try:
-            jax.lax.while_loop = counting_while
-            greedy_decode(model, params, feats, xn, max_length=L)
-        finally:
-            jax.lax.while_loop = orig_while
-        return int(counter["steps"])
-
-    print(f"steps[greedy] = {count_greedy()}", flush=True)
+    print(f"steps[greedy] = " + str(count_trips(
+        lambda: greedy_decode(model, params, feats, xn, max_length=L))),
+        flush=True)
 
 
 if __name__ == "__main__":

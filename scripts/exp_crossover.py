@@ -1,4 +1,4 @@
-"""Measure the fused-vs-padded crossover that backs `_FUSED_LOGITS_BYTES`.
+"""Measure the fused-vs-padded crossover behind the router's `_FUSED_MIN_V`.
 
 Round-4 verdict item 3: the 48 MB routing boundary was a guess between two
 points 23x apart (11 MB and 252 MB).  This sweeps the joint+loss+backward
@@ -69,8 +69,7 @@ def main():
             data["fused_padded_crossover"] = {
                 "note": (f"N={N}, T={T}, U={U}, random lengths; joint+loss+"
                          "backward step ms (bench_joint); backs the "
-                         "layout-router boundary joint_loss._FUSED_LOGITS_"
-                         "BYTES"),
+                         "layout-router boundary joint_loss._FUSED_MIN_V"),
                 "rows": sorted(rows.values(),
                                key=lambda r: (r["H"], r["V"])),
             }

@@ -92,8 +92,11 @@ def main(in_path="benchmarks_results.json",
         e2e = json.load(open(os.path.join(ROOT, "benchmarks_endtoend.json")))
     except FileNotFoundError:
         e2e = None
-    if e2e:
-        j = e2e["joint_loss_backward"]
+    # Collectors re-render after EVERY save (collect_endtoend._save), so a
+    # mid-collection file may hold partial sections (e.g. joint_loss_backward
+    # with only full_lengths measured yet): render what exists, never crash.
+    j = e2e.get("joint_loss_backward") if e2e else None
+    if j and "full_lengths" in j and "random_lengths" in j:
         cfg = j["config"]
         lines += [
             f"- Joint + loss + backward (N={cfg['N']}, T={cfg['T']}, "
@@ -123,22 +126,23 @@ def main(in_path="benchmarks_results.json",
                 f"{f_['program_hbm_mb']:.0f} MiB | {r_['step_ms']:.1f} ms / "
                 f"{r_['program_hbm_mb']:.0f} MiB |"
             )
-        pad_r = by_mode["rand"]["log_softmax+gather"]
-        cmp_r = by_mode["rand"]["compact"]
-        speed = pad_r["step_ms"] / cmp_r["step_ms"]
-        mem = pad_r["program_hbm_mb"] / cmp_r["program_hbm_mb"]
-        lines += [
-            "",
-            "  The compact path computes only the sum(xn*(yn+1)) valid "
-            f"lattice cells: at random lengths it is **{speed:.1f}x faster "
-            f"and {mem:.1f}x lighter** than the padded path (the "
-            "reference's published compact win on GPU is ~15% time / ~22% "
-            "memory, `pytorch_binding/benchmark2.py`).  The fused "
-            "from-logits path wins by never running log_softmax (or its "
-            "backward) over the (N,T,U,V) tensor.",
-        ]
+        pad_r = by_mode["rand"].get("log_softmax+gather")
+        cmp_r = by_mode["rand"].get("compact")
+        if pad_r and cmp_r:
+            speed = pad_r["step_ms"] / cmp_r["step_ms"]
+            mem = pad_r["program_hbm_mb"] / cmp_r["program_hbm_mb"]
+            lines += [
+                "",
+                "  The compact path computes only the sum(xn*(yn+1)) valid "
+                f"lattice cells: at random lengths it is **{speed:.1f}x faster "
+                f"and {mem:.1f}x lighter** than the padded path (the "
+                "reference's published compact win on GPU is ~15% time / ~22% "
+                "memory, `pytorch_binding/benchmark2.py`).  The fused "
+                "from-logits path wins by never running log_softmax (or its "
+                "backward) over the (N,T,U,V) tensor.",
+            ]
         fz = by_mode["full"].get("fused")
-        if fz:
+        if fz and by_mode["full"].get("log_softmax+gather"):
             # MXU utilization of the fused step: forward projection +
             # backward's recompute, d_h, and d_W matmuls = 4 passes over
             # the N*T*(U+1) x H x V joint GEMM (2 FLOP/MAC); everything
@@ -162,6 +166,7 @@ def main(in_path="benchmarks_results.json",
                 "requires materialized log-probs "
                 "(`/root/reference/README.md:59`).",
             ]
+    if e2e:
         dec = e2e.get("decode")
         if dec:
             c = dec["config"]
@@ -237,20 +242,21 @@ def main(in_path="benchmarks_results.json",
                 "efficiency target is **pending a real pod slice** — one "
                 "command there.",
             ]
-        tr = e2e["train_step"]
-        tcfg = tr["config"]
-        best = min(tr["rows"], key=lambda r: r["step_ms"])
-        lines += [
-            "- Full training step — conv-GLU encoder + GRU predictor + "
-            f"bf16 joint + loss + adamw (N={tcfg['N']}, T={tcfg['T']}, "
-            f"U={tcfg['U']}, V={tcfg['V']}, H={tcfg['hidden']}, "
-            f"{tcfg['params_m']}M params): **{best['step_ms']:.1f} ms/step "
-            f"= {best['utts_per_s']:.0f} utts/s** on one chip "
-            "(`benchmarks/bench_train.py`).",
-        ]
-        prof = tr.get("profile")
-        if prof:
-            lines += ["  " + prof["summary"]]
+        tr = e2e.get("train_step")
+        if tr and tr.get("rows"):
+            tcfg = tr["config"]
+            best = min(tr["rows"], key=lambda r: r["step_ms"])
+            lines += [
+                "- Full training step — conv-GLU encoder + GRU predictor + "
+                f"bf16 joint + loss + adamw (N={tcfg['N']}, T={tcfg['T']}, "
+                f"U={tcfg['U']}, V={tcfg['V']}, H={tcfg['hidden']}, "
+                f"{tcfg['params_m']}M params): **{best['step_ms']:.1f} "
+                f"ms/step = {best['utts_per_s']:.0f} utts/s** on one chip "
+                "(`benchmarks/bench_train.py`).",
+            ]
+            prof = tr.get("profile")
+            if prof:
+                lines += ["  " + prof["summary"]]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path} ({len(data['rows'])} rows)")

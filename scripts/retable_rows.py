@@ -70,7 +70,9 @@ def main(*specs):
         json.dump(data, open(OUT, "w"), indent=1)
     print(f"wrote {OUT}", flush=True)
     # keep the rendered document in lockstep with the data (verdict r4 #2)
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
     import render_results
 
     render_results.main()

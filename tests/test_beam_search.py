@@ -157,3 +157,28 @@ def test_top_k_small_matches_lax_top_k():
         v, i = _top_k_small(x, k)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+
+
+def test_top_k_small_distinct_indices_with_inf_masks():
+    """Slices with fewer than k finite entries (the -inf vocab-masking
+    idiom) must still return DISTINCT indices, falling back to ascending
+    first-unpicked positions exactly as lax.top_k does — the pre-fix
+    iterative argmax returned duplicate index 0 once every remaining entry
+    was -inf."""
+    from warp_rnnt_tpu.models.beam_search import _top_k_small
+
+    neg = -jnp.inf
+    x = jnp.asarray([
+        [neg, neg, neg, neg, neg],        # nothing finite
+        [neg, 2.0, neg, neg, neg],        # one finite
+        [1.0, neg, 3.0, neg, neg],        # two finite
+        [5.0, 4.0, 3.0, 2.0, 1.0],        # all finite
+    ], jnp.float32)
+    for k in (2, 3, 4):
+        v_ref, i_ref = jax.lax.top_k(x, k)
+        v, i = _top_k_small(x, k)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+        # distinctness per row, independently of the reference
+        for row in np.asarray(i):
+            assert len(set(row.tolist())) == k

@@ -150,3 +150,51 @@ def test_auto_route_is_lowering_time_per_platform(monkeypatch):
     # plain jit on the cpu backend prunes the Mosaic branch and runs padded
     got = np.asarray(jax.jit(fn)(f, g, params))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+
+
+def test_route_default_platform_is_runtime_backend():
+    """A DIRECT caller on a CPU-only host must never be routed into the
+    interpreted Pallas kernel: with platform unspecified the route resolves
+    against jax.default_backend() at call time, even at fused-territory V
+    (>= _FUSED_MIN_V).  Explicit platforms still answer for that platform."""
+    V_big = 4096  # comfortably above _FUSED_MIN_V
+    if jax.default_backend() != "tpu":
+        assert joint_layout_route(10, 4, 16, V_big) == "padded"
+    assert joint_layout_route(10, 4, 16, V_big, platform="tpu") == "fused"
+    assert joint_layout_route(10, 4, 16, V_big, platform="cpu") == "padded"
+
+
+def test_compute_dtype_fp32_padded_and_auto():
+    """compute_dtype=float32 gives full-precision joint numerics on the
+    padded and compact branches, auto routes it away from the bf16-only
+    fused kernel, and layout='fused' rejects it loudly."""
+    f, g, params, ys, xn, yn = _setup()
+
+    def fp32_reference():
+        # plain fp32 numpy-free reference: tanh MLP joint + from-logits loss
+        from warp_rnnt_tpu.functional.from_logits import rnnt_loss_from_logits
+        h = (f[:, :, None, :] + g[:, None, :, :]) @ params["w_pre"]
+        h = jnp.tanh(h + params["b_pre"])
+        logits = h @ params["w_out"] + params["b_out"]
+        return rnnt_loss_from_logits(logits, ys, xn, yn)
+
+    want = np.asarray(fp32_reference())
+    got_padded = np.asarray(rnnt_loss_joint(
+        f, g, params, ys, xn, yn, layout="padded",
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got_padded, want, rtol=1e-5, atol=1e-5)
+    got_auto = np.asarray(rnnt_loss_joint(
+        f, g, params, ys, xn, yn, layout="auto",
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got_auto, got_padded, rtol=1e-6)
+    got_compact = np.asarray(rnnt_loss_joint(
+        f, g, params, ys, xn, yn, layout="compact",
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got_compact, want, rtol=1e-5, atol=1e-5)
+    # the bf16 default agrees to bf16 tolerance with the fp32 program
+    got_bf16 = np.asarray(rnnt_loss_joint(
+        f, g, params, ys, xn, yn, layout="padded"))
+    np.testing.assert_allclose(got_bf16, want, rtol=2e-2, atol=2e-2)
+    with pytest.raises(ValueError, match="bf16"):
+        rnnt_loss_joint(f, g, params, ys, xn, yn, layout="fused",
+                        compute_dtype=jnp.float32)

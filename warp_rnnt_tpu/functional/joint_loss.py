@@ -62,30 +62,36 @@ _FUSED_MIN_V = 40
 
 
 def joint_layout_route(T: int, U: int, H: int, V: int, N: int = 1,
-                       platform: str = "tpu") -> str:
+                       platform: Optional[str] = None) -> str:
     """The measured routing policy for `layout="auto"`, per platform.
 
-    ``platform`` names the LOWERING platform the choice is for (not the
-    trace-time host): "tpu" picks "fused" from `_FUSED_MIN_V` up (the
-    measured fused-win region), else "padded" (from-logits); every other
-    platform is always "padded" — the fused kernel would run under the
-    Pallas interpreter.  `rnnt_loss_joint(layout="auto")` resolves the
-    platform at lowering time via `jax.lax.platform_dependent` (mirroring
-    `functional/core._PlatformDispatch`), so multi-platform `jax.export` /
-    jax2tf artifacts bake the right branch per platform instead of the
-    export host's answer.  U counts lattice rows (labels + 1).
+    ``platform`` names the LOWERING platform the choice is for: "tpu"
+    picks "fused" from `_FUSED_MIN_V` up (the measured fused-win region);
+    every other platform is always "padded" — the fused kernel would run
+    under the Pallas interpreter there.  ``platform=None`` (the default)
+    resolves to `jax.default_backend()`, so a DIRECT caller following the
+    documented ``layout=joint_layout_route(...)`` pattern on a CPU-only
+    host never gets routed into interpreted Pallas.
+    `rnnt_loss_joint(layout="auto")` does NOT rely on that trace-time
+    answer: it resolves the platform at lowering time via
+    `jax.lax.platform_dependent` (mirroring `functional/core.
+    _PlatformDispatch`), so multi-platform `jax.export` / jax2tf artifacts
+    bake the right branch per platform instead of the export host's
+    answer.  U counts lattice rows (labels + 1).
 
     T/U/H/N are accepted for API stability but do not currently move the
     boundary: measured costs of both pipelines scale together with N*T*U,
     and growing H only widens the fused win (see `_FUSED_MIN_V`).
     """
     del T, U, H, N
+    if platform is None:
+        platform = jax.default_backend()
     if platform != "tpu":
         return "padded"
     return "fused" if V >= _FUSED_MIN_V else "padded"
 
 
-def _pre_projections(f, g, params, mode):
+def _pre_projections(f, g, params, mode, compute_dtype=jnp.bfloat16):
     """Shared pre-projection math (identical to ops/fused_joint.py): the
     joint is tanh((f @ Wa + b_pre) + g @ Wc) @ w_out + b_out.
 
@@ -97,7 +103,7 @@ def _pre_projections(f, g, params, mode):
     Joint.apply program at tiny V (`scripts/exp_padded_variants.py`)."""
     w_pre, b_pre = params["w_pre"], params["b_pre"]
     F = f.shape[-1]
-    cd = jnp.bfloat16
+    cd = compute_dtype
     if mode == "add":
         wa = wc = w_pre.astype(cd)
     elif mode == "concat":
@@ -112,7 +118,7 @@ def _pre_projections(f, g, params, mode):
     return a, c
 
 
-def _project_out(a, c, params, combine):
+def _project_out(a, c, params, combine, compute_dtype=jnp.bfloat16):
     """logits = tanh(combine(a, c)) @ w_out + b_out, bf16 MXU / fp32 accum.
 
     ``combine`` builds the per-cell hidden tensor from the two small
@@ -131,8 +137,8 @@ def _project_out(a, c, params, combine):
     def project(a, c):
         h = combine(a, c)
         z = jax.lax.dot_general(
-            jnp.tanh(h).astype(jnp.bfloat16).reshape(-1, h.shape[-1]),
-            w_out.astype(jnp.bfloat16),
+            jnp.tanh(h).astype(compute_dtype).reshape(-1, h.shape[-1]),
+            w_out.astype(compute_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(h.shape[:-1] + (w_out.shape[1],))
@@ -180,6 +186,7 @@ def rnnt_loss_joint(
     mode: str = "add",
     layout: str = "auto",
     impl: str = "auto",
+    compute_dtype=jnp.bfloat16,
 ):
     """Joint network + RNN-T loss with automatic layout routing.
 
@@ -187,6 +194,13 @@ def rnnt_loss_joint(
     ``params = dict(w_pre, b_pre, w_out, b_out)`` (the Tanh-MLP joint of
     `models/joint.Joint`; "concat" mode splits w_pre into row blocks).
     Differentiable w.r.t. f, g and all four parameters in every layout.
+
+    ``compute_dtype`` is the joint matmuls' MXU dtype (the lattice DP is
+    always fp32).  The bf16 default matches the fused kernel and the
+    measured-fast `Joint.apply` program (bf16-joint / fp32-lattice, the
+    BASELINE config-5 recipe); pass ``jnp.float32`` for full-precision
+    joint numerics — the fused kernel is bf16-MXU by construction, so
+    fp32 forces the padded program (auto) or rejects layout="fused".
 
     layout:
       * "auto"    — the measured winner for this shape/backend
@@ -203,6 +217,8 @@ def rnnt_loss_joint(
             f.shape[1], g.shape[1], params["w_out"].shape[0],
             params["w_out"].shape[1], N=f.shape[0], platform="tpu",
         )
+        if compute_dtype != jnp.bfloat16:
+            route = "padded"  # the fused kernel is bf16-MXU by construction
         if route == "padded":
             # padded is the winner on every platform at this shape
             layout = "padded"
@@ -241,6 +257,12 @@ def rnnt_loss_joint(
                 tpu=_fused, default=_padded,
             )
     if layout == "fused":
+        if compute_dtype != jnp.bfloat16:
+            raise ValueError(
+                "layout='fused' computes the joint in bf16 on the MXU;"
+                " use layout='padded' (or 'auto') for"
+                f" compute_dtype={compute_dtype}"
+            )
         from warp_rnnt_tpu.ops.fused_joint import rnnt_loss_fused_joint
 
         return rnnt_loss_fused_joint(
@@ -262,6 +284,7 @@ def rnnt_loss_joint(
             vocab_size=int(params["w_out"].shape[1]),
             hidden=int(params["w_out"].shape[0]),
             mode=mode,
+            compute_dtype=compute_dtype,
         )
         tree = {"params": {
             "pre": {"kernel": params["w_pre"], "bias": params["b_pre"]},
@@ -273,7 +296,7 @@ def rnnt_loss_joint(
             average_frames=average_frames, reduction=reduction, blank=blank,
             fastemit_lambda=fastemit_lambda, impl=impl,
         )
-    a, c = _pre_projections(f, g, params, mode)
+    a, c = _pre_projections(f, g, params, mode, compute_dtype)
     if layout == "compact":
         n_idx, t_idx, u_idx = pack_joint_metadata(
             frames_lengths, labels_lengths
@@ -284,7 +307,8 @@ def rnnt_loss_joint(
             for i in range(len(yn_h))
         ] or [jnp.zeros(0, jnp.int32)])
         rows = _project_out(
-            a, c, params, lambda a, c: a[n_idx, t_idx] + c[n_idx, u_idx]
+            a, c, params, lambda a, c: a[n_idx, t_idx] + c[n_idx, u_idx],
+            compute_dtype,
         )
         log_probs = jax.nn.log_softmax(rows, axis=-1)
         T = int(np.asarray(frames_lengths).max())

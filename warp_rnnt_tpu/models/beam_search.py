@@ -60,17 +60,26 @@ def _top_k_small(x, k):
     rewrites top-k to argmax) vs 177 us at beam=2 (where the sort first
     appears), with beam=4 adding only 7 more.  k successive
     (argmax, mask) rounds are k cheap VPU reductions instead, exact for
-    any k.  Already-selected entries are masked to -inf so finite values
-    (including the NEG dead-beam sentinel) are never out-ranked by a
-    duplicate pick, matching `lax.top_k`'s distinct-index contract.
+    any k.
+
+    Selection runs on a copy whose -inf entries are clamped to the finite
+    dtype minimum, and picked indices are masked to -inf: that keeps the
+    indices DISTINCT even when fewer than k entries are finite (argmax
+    over an all--inf slice returns 0 every round, which would duplicate
+    index 0 — with the clamp, exhausted slices fall back to ascending
+    first-unpicked indices, exactly `lax.top_k`'s behavior).  Returned
+    VALUES are gathered from the original x, so -inf entries still report
+    -inf.  The one deviation from `lax.top_k`: a slice mixing -inf with
+    the exact finite dtype minimum orders those two by index, not value.
     """
     vals, ids = [], []
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sel = jnp.maximum(x, jnp.finfo(x.dtype).min)
     for _ in range(k):
-        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        i = jnp.argmax(sel, axis=-1).astype(jnp.int32)
         vals.append(jnp.take_along_axis(x, i[..., None], -1)[..., 0])
         ids.append(i)
-        x = jnp.where(iota == i[..., None], -jnp.inf, x)
+        sel = jnp.where(iota == i[..., None], -jnp.inf, sel)
     return jnp.stack(vals, -1), jnp.stack(ids, -1)
 
 
