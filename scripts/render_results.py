@@ -179,6 +179,21 @@ def main(in_path="benchmarks_results.json",
                 f"{dec['beam_utts_per_s']:.0f} utts/s — fully jitted "
                 "batched decoders; the reference ships no decoder at all.",
             ]
+        stm = e2e.get("streaming")
+        if stm:
+            c = stm["config"]
+            lines += [
+                f"- Streaming session (N={c['N']} concurrent streams, "
+                f"{c['chunk_frames']}-frame chunks, V={c['V']}, "
+                f"H={c['hidden']}, `benchmarks/bench_streaming.py`): "
+                f"**{stm['chunk_ms']:.2f} ms per chunk step** (stateful "
+                "chunked encode + incremental greedy decode, one jitted "
+                f"step) = {stm['frames_per_s']:.0f} frames/s — "
+                f"~{stm['realtime_factor_at_100fps']:.0f}x real time at a "
+                "100 frames/s feature rate.  Chunked output equals one-shot "
+                "`greedy_decode` bit-for-bit (hardware-gated, "
+                "`scripts/tpu_check.py`).",
+            ]
         sh = e2e.get("sharded_overhead")
         if sh:
             c = sh["config"]

@@ -407,6 +407,31 @@ finally:
     _gather_mod._MASK_ROW_BYTES = _orig_small
 print("TPU flat3d-gather parity OK", flush=True)
 
+# ---- streaming session == one-shot greedy decode on hardware ---------------
+# (models/streaming.py exactness contract — chunked stateful encode +
+# incremental decode must reproduce greedy_decode bit-for-bit on the chip)
+from warp_rnnt_tpu.models import (  # noqa: E402
+    greedy_decode, init_model, stream_finish, stream_init, stream_step,
+)
+
+_sm, _sp, _sb = init_model(
+    jax.random.PRNGKey(0), vocab_size=64, feat_dim=16, N=4, T=48, U=6,
+    encoder_hidden=32, predictor_hidden=32, joint_hidden=32,
+)
+_sfeats = _sb[0]
+_sxn = jnp.asarray([48, 37, 20, 9], jnp.int32)
+_ref_tok, _ref_len = jax.jit(
+    lambda f: greedy_decode(_sm, _sp, f, _sxn, max_length=24)
+)(_sfeats)
+_st = stream_init(_sm, _sp, 4, max_length=24)
+_step = jax.jit(lambda s, c: stream_step(_sm, _sp, s, c, xn=_sxn))
+for _i in range(0, 48, 16):
+    _st = _step(_st, _sfeats[:, _i:_i + 16])
+_tok, _len, _ = stream_finish(_sm, _sp, _st, xn=_sxn)
+np.testing.assert_array_equal(np.asarray(_len), np.asarray(_ref_len))
+np.testing.assert_array_equal(np.asarray(_tok), np.asarray(_ref_tok))
+print("TPU streaming-session exactness OK", flush=True)
+
 
 def timeit(fn, args, iters=30, warmup=3):
     # dependency-forced, two-point-calibrated (naive loops measure fantasy

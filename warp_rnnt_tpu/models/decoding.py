@@ -34,22 +34,60 @@ def greedy_decode(model, params, feats, xn, max_length: int,
     """
     bound = model.bind(params)
     enc = bound.encode(feats)  # (N, T, H)
-    N, T, _ = enc.shape
+    N = enc.shape[0]
     xn = jnp.asarray(xn, jnp.int32)
+    dec = greedy_state_init(bound, N, max_length, blank)
+    dec = greedy_drain(bound, dec, enc, 0, xn,
+                       max_symbols_per_step=max_symbols_per_step,
+                       blank=blank)
+    return dec[6], dec[1]
+
+
+def greedy_state_init(bound, N, max_length: int, blank: int = 0):
+    """Fresh greedy decode state: (t, u, emitted_here, last_tok,
+    pred_state, pred_out, tokens)."""
+    pred_state = bound.predictor_init(N)
+    _, pred_out = bound.predictor_step(
+        pred_state, jnp.full((N,), -1, jnp.int32)
+    )
+    return (
+        jnp.zeros((N,), jnp.int32),  # t (next frame to consume)
+        jnp.zeros((N,), jnp.int32),  # u (emitted)
+        jnp.zeros((N,), jnp.int32),  # emitted at current frame
+        jnp.full((N,), -1, jnp.int32),  # last token (<sos>)
+        pred_state,
+        pred_out,
+        jnp.full((N, max_length), blank, jnp.int32),
+    )
+
+
+def greedy_drain(bound, dec, enc, p0, frame_bound,
+                 max_symbols_per_step: int = 4, blank: int = 0):
+    """Advance a greedy decode state over the available encoder frames.
+
+    ``enc`` (N, C, H) holds frames for stream positions [p0, p0+C);
+    each sample consumes frames while its t < frame_bound (per-sample,
+    clipped by the caller to what enc actually covers).  Used by both the
+    one-shot `greedy_decode` (enc = the whole utterance, p0 = 0,
+    frame_bound = xn) and the chunked streaming session
+    (`models/streaming.py`)."""
+    C = enc.shape[1]
+    max_length = dec[6].shape[1]
+    frame_bound = jnp.asarray(frame_bound, jnp.int32)
 
     def cond(state):
         # every sample advances t on each non-emitting step, so the loop
-        # terminates after at most T*max_symbols_per_step + max_length
-        # iterations; in practice ~T + emitted — a while_loop runs ~4x fewer
+        # terminates after at most C*max_symbols_per_step + max_length
+        # iterations; in practice ~C + emitted — a while_loop runs ~4x fewer
         # sequential steps than the static worst-case fori_loop bound
         t = state[0]
-        return jnp.any(t < xn)
+        return jnp.any(t < frame_bound)
 
     def body(state):
         t, u, emitted_here, last_tok, pred_state, pred_out, tokens = state
-        active = t < xn
+        active = t < frame_bound
         f_t = jnp.take_along_axis(
-            enc, jnp.clip(t, 0, T - 1)[:, None, None], axis=1
+            enc, jnp.clip(t - p0, 0, C - 1)[:, None, None], axis=1
         )[:, 0, :]
         logp = bound.joint_step(f_t, pred_out)  # (N, V)
         best = jnp.argmax(logp, axis=-1).astype(jnp.int32)
@@ -69,7 +107,8 @@ def greedy_decode(model, params, feats, xn, max_length: int,
         # advance predictor state for emitters
         new_state, new_out = bound.predictor_step(pred_state, best)
         pred_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(emit[:, None], new, old), new_state, pred_state
+            lambda new, old: jnp.where(emit[:, None], new, old),
+            new_state, pred_state,
         )
         pred_out = jnp.where(emit[:, None], new_out, pred_out)
         u = jnp.where(emit, u + 1, u)
@@ -77,16 +116,4 @@ def greedy_decode(model, params, feats, xn, max_length: int,
         t = jnp.where(active & ~emit, t + 1, t)
         return (t, u, emitted_here, best, pred_state, pred_out, tokens)
 
-    pred_state = bound.predictor_init(N)
-    _, pred_out = bound.predictor_step(pred_state, jnp.full((N,), -1, jnp.int32))
-    init = (
-        jnp.zeros((N,), jnp.int32),  # t
-        jnp.zeros((N,), jnp.int32),  # u (emitted)
-        jnp.zeros((N,), jnp.int32),  # emitted at current frame
-        jnp.full((N,), -1, jnp.int32),  # last token (<sos>)
-        pred_state,
-        pred_out,
-        jnp.full((N, max_length), blank, jnp.int32),
-    )
-    t, u, _, _, _, _, tokens = jax.lax.while_loop(cond, body, init)
-    return tokens, u
+    return jax.lax.while_loop(cond, body, dec)

@@ -28,17 +28,70 @@ from warp_rnnt_tpu.models.joint import Joint
 
 
 class ConvBlock(nn.Module):
+    """Residual conv-GLU block; streamable (see `stream`).
+
+    The convolution is declared VALID and `__call__` pads explicitly —
+    identical math to padding="SAME" for an odd kernel at stride 1, and it
+    lets `stream` run the same parameters over a cached context window.
+    """
+
     features: int
     kernel: int = 5
     compute_dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x):  # (N, T, H)
-        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.compute_dtype)
-        h = nn.Conv(2 * self.features, (self.kernel,), padding="SAME",
-                    dtype=self.compute_dtype)(h)
+    def setup(self):
+        self.ln = nn.LayerNorm(dtype=jnp.float32)
+        self.conv = nn.Conv(2 * self.features, (self.kernel,),
+                            padding="VALID", dtype=self.compute_dtype)
+
+    def _glu(self, h):
         a, b = jnp.split(h, 2, axis=-1)
-        return x + (a * nn.sigmoid(b)).astype(x.dtype)
+        return a * nn.sigmoid(b)
+
+    def __call__(self, x):  # (N, T, H)
+        r = self.kernel // 2
+        h = self.ln(x).astype(self.compute_dtype)
+        h = jnp.pad(h, ((0, 0), (r, r), (0, 0)))
+        h = self.conv(h)
+        return x + self._glu(h).astype(x.dtype)
+
+    def stream_init(self, N):
+        """Caches for chunked streaming: the last kernel-1 LN-space frames
+        (zero-initialized — exactly the SAME conv's left padding) and the
+        last `radius` raw input frames still awaiting their right
+        context."""
+        r = self.kernel // 2
+        return {
+            "ln": jnp.zeros((N, self.kernel - 1, self.features),
+                            self.compute_dtype),
+            "x": jnp.zeros((N, r, self.features), jnp.float32),
+        }
+
+    def stream(self, carry, x_chunk, pos0, limit):
+        """One streaming step over a chunk of C >= 1 input frames.
+
+        ``pos0`` is the stream position of x_chunk[:, 0] in THIS block's
+        input stream; ``limit`` its total length (pass a huge value while
+        frames keep coming).  Frames outside [0, limit) are masked to zero
+        in LN-space so they act exactly as the full-utterance SAME conv's
+        zero padding (pre-stream warm-up rows and the flush's trailing
+        zeros are data here, padding there).  Emits C output frames for
+        positions pos0-radius .. pos0+C-radius-1 — the block's algorithmic
+        delay is `radius` frames; rows at out-of-stream positions are junk
+        the caller discards.
+        """
+        r = self.kernel // 2
+        C = x_chunk.shape[1]
+        ln = self.ln(x_chunk).astype(self.compute_dtype)
+        in_pos = pos0 + jnp.arange(C, dtype=jnp.int32)
+        ok = (in_pos >= 0) & (in_pos < limit)
+        ln = jnp.where(ok[None, :, None], ln, 0)
+        full_ln = jnp.concatenate([carry["ln"], ln], axis=1)  # (N, C+2r, H)
+        glu = self._glu(self.conv(full_ln))                   # (N, C, H)
+        x_all = jnp.concatenate([carry["x"], x_chunk], axis=1)  # (N, C+r, H)
+        y = x_all[:, :C] + glu.astype(x_chunk.dtype)
+        new_carry = {"ln": full_ln[:, -2 * r:], "x": x_all[:, -r:]}
+        return new_carry, y
 
 
 class Encoder(nn.Module):
@@ -46,13 +99,64 @@ class Encoder(nn.Module):
     blocks: int = 2
     compute_dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.inp = nn.Dense(self.hidden, dtype=self.compute_dtype)
+        self.conv_blocks = [
+            ConvBlock(self.hidden, compute_dtype=self.compute_dtype)
+            for _ in range(self.blocks)
+        ]
+        self.out_ln = nn.LayerNorm(dtype=jnp.float32)
+
     def __call__(self, feats):  # (N, T, F) -> (N, T, H)
-        h = nn.Dense(self.hidden, dtype=self.compute_dtype)(feats.astype(self.compute_dtype))
+        h = self.inp(feats.astype(self.compute_dtype)).astype(jnp.float32)
+        for blk in self.conv_blocks:
+            h = blk(h)
+        return self.out_ln(h)
+
+    @property
+    def lookahead(self):
+        """Total algorithmic delay of `stream` in frames (sum of block
+        radii): output frame t is emitted once input frame t+lookahead
+        arrives."""
+        return sum(b.kernel // 2 for b in self.conv_blocks)
+
+    def stream_init(self, N):
+        return {
+            "m": jnp.zeros((), jnp.int32),  # raw frames consumed so far
+            "blocks": tuple(b.stream_init(N) for b in self.conv_blocks),
+        }
+
+    def stream(self, carry, feats_chunk, limit):
+        """Chunked encoding, exactly matching `__call__` on the whole
+        utterance.  Feeding C raw frames emits C encoder frames for
+        positions m-lookahead .. m+C-lookahead-1 (junk rows outside
+        [0, limit) — the caller tracks positions and discards them).
+        ``limit`` is the final stream length, or a huge value while more
+        frames are coming.  Any chunk size C >= 1 works."""
+        h = self.inp(feats_chunk.astype(self.compute_dtype))
         h = h.astype(jnp.float32)
-        for _ in range(self.blocks):
-            h = ConvBlock(self.hidden, compute_dtype=self.compute_dtype)(h)
-        return nn.LayerNorm(dtype=jnp.float32)(h)
+        pos0 = carry["m"]
+        new_blocks = []
+        for blk, bc in zip(self.conv_blocks, carry["blocks"]):
+            bc, h = blk.stream(bc, h, pos0, limit)
+            new_blocks.append(bc)
+            pos0 = pos0 - blk.kernel // 2
+        out = self.out_ln(h)  # positions pos0 .. pos0+C-1
+        new_carry = {
+            "m": carry["m"] + feats_chunk.shape[1],
+            "blocks": tuple(new_blocks),
+        }
+        return new_carry, out, pos0
+
+    def stream_finish(self, carry, limit):
+        """Flush the lookahead: push `lookahead` zero raw frames through
+        (masked to padding in every block), emitting the final encoder
+        frames up to position limit-1."""
+        R = self.lookahead
+        N = carry["blocks"][0]["ln"].shape[0]
+        feat_dim = self.inp.variables["params"]["kernel"].shape[0]
+        zeros = jnp.zeros((N, R, feat_dim), jnp.float32)
+        return self.stream(carry, zeros, limit)
 
 
 class Predictor(nn.Module):
