@@ -127,3 +127,27 @@ def test_stream_state_is_resumable_midway(setup):
     tok, ln, _ = stream_finish(model, params, st)
     np.testing.assert_array_equal(np.asarray(ln), np.asarray(ref_len))
     np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+
+
+@pytest.mark.parametrize("C", [5, 16])
+def test_chunked_beam_equals_full_beam(setup, C):
+    """Beam sessions share the exactness contract: the beam drain is
+    strictly per-frame sequential, so pausing at chunk boundaries cannot
+    change tokens, lengths, OR best-alignment scores."""
+    from warp_rnnt_tpu.models import beam_decode
+
+    model, params, feats = setup
+    N, T, _ = feats.shape
+    xn = jnp.asarray([41, 33, 17, 5], jnp.int32)
+    ref_tok, ref_len, ref_sc = beam_decode(
+        model, params, feats, xn, max_length=30, beam_size=3
+    )
+    st = stream_init(model, params, N, max_length=30, beam_size=3)
+    i = 0
+    while i < T:
+        st = stream_step(model, params, st, feats[:, i:i + C], xn=xn)
+        i += min(C, T - i)
+    tok, ln, sc, _ = stream_finish(model, params, st, xn=xn)
+    np.testing.assert_array_equal(np.asarray(ln), np.asarray(ref_len))
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_sc), rtol=0)

@@ -105,10 +105,66 @@ def beam_decode(model, params, feats, xn, max_length: int,
     """
     bound = model.bind(params)
     enc = bound.encode(feats)  # (N, T, H)
-    N, T, H = enc.shape
-    B = beam_size
-    L = max_length
+    N = enc.shape[0]
     xn = jnp.asarray(xn, jnp.int32)
+    state = beam_state_init(bound, N, beam_size, max_length, blank)
+    state = beam_drain(bound, state, enc, 0, xn,
+                       max_symbols_per_step=max_symbols_per_step,
+                       blank=blank)
+    return beam_best(state)
+
+
+def beam_best(state):
+    """Best hypothesis of a beam state: (tokens, lengths, scores)."""
+    _, scores, tokens, u = state[0], state[1], state[2], state[3]
+    N = scores.shape[0]
+    best = jnp.argmax(scores, axis=1)
+    n_iota = jnp.arange(N)
+    return tokens[n_iota, best], u[n_iota, best], scores[n_iota, best]
+
+
+def beam_state_init(bound, N, beam_size, max_length, blank: int = 0):
+    """Fresh beam-search state (only beam 0 live, <sos> predictor)."""
+    B, L = beam_size, max_length
+    pred_state0 = bound.predictor_init(N * B)
+    pred_state0 = jax.tree_util.tree_map(
+        lambda x: x.reshape((N, B) + x.shape[1:]), pred_state0
+    )
+    _, out0 = bound.predictor_step(
+        jax.tree_util.tree_map(
+            lambda x: x.reshape((N * B,) + x.shape[2:]), pred_state0
+        ),
+        jnp.full((N * B,), -1, jnp.int32),
+    )
+    return (
+        jnp.zeros((N,), jnp.int32),  # per-sample frame pointer
+        jnp.concatenate(
+            [jnp.zeros((N, 1)), jnp.full((N, B - 1), NEG)], 1
+        ).astype(jnp.float32),  # only beam 0 live initially
+        jnp.full((N, B, L), blank, jnp.int32),
+        jnp.zeros((N, B), jnp.int32),  # emitted length u
+        jnp.zeros((N, B), jnp.int32),  # emissions at the current frame
+        jnp.zeros((N, B), bool),  # settled ("waiting") for current frame
+        jnp.zeros((N, B), jnp.uint32),  # rolling prefix hash
+        pred_state0,
+        out0.reshape(N, B, -1),
+    )
+
+
+def beam_drain(bound, state, enc, p0, frame_bound,
+               max_symbols_per_step: int = 4, blank: int = 0):
+    """Advance a beam-search state over the available encoder frames.
+
+    Mirrors `decoding.greedy_drain`: ``enc`` (N, C, H) holds frames for
+    stream positions [p0, p0+C); each sample consumes frames while its
+    frame pointer t < frame_bound.  The loop body is strictly per-frame
+    sequential, so pausing at any chunk boundary and resuming later is
+    bit-exact vs the one-shot decode — used by `beam_decode` (whole
+    utterance, p0=0, frame_bound=xn) and the streaming session."""
+    N, C, H = enc.shape
+    B = state[1].shape[1]
+    L = state[2].shape[2]
+    frame_bound = jnp.asarray(frame_bound, jnp.int32)
 
     def pred_step(state, tokens_nb):  # tokens (N, B) -> out (N, B, H)
         flat_state = jax.tree_util.tree_map(
@@ -129,14 +185,14 @@ def beam_decode(model, params, feats, xn, max_length: int,
         )
 
     def cond(state):
-        return jnp.any(state[0] < xn)
+        return jnp.any(state[0] < frame_bound)
 
     def body(state):
         (t, scores, tokens, u, nexp, waiting, hcode, pred_state,
          pred_out) = state
-        frame_on = (t < xn)[:, None]  # (N, 1)
+        frame_on = (t < frame_bound)[:, None]  # (N, 1)
         f_t = jnp.take_along_axis(
-            enc, jnp.clip(t, 0, T - 1)[:, None, None], axis=1
+            enc, jnp.clip(t - p0, 0, C - 1)[:, None, None], axis=1
         )  # (N, 1, H)
 
         logp = bound.joint_step(
@@ -232,40 +288,11 @@ def beam_decode(model, params, feats, xn, max_length: int,
         # a sample whose live beams are all settled is done with this
         # frame: advance its pointer and re-arm every beam
         active = ~waiting & (scores > 0.5 * NEG)
-        advance = (t < xn) & ~jnp.any(active, axis=1)
+        advance = (t < frame_bound) & ~jnp.any(active, axis=1)
         t = jnp.where(advance, t + 1, t)
         waiting = waiting & ~advance[:, None]
         nexp = jnp.where(advance[:, None], 0, nexp)
         return (t, scores, tokens, u, nexp, waiting, hcode, pred_state,
                 pred_out)
 
-    pred_state0 = bound.predictor_init(N * B)
-    pred_state0 = jax.tree_util.tree_map(
-        lambda x: x.reshape((N, B) + x.shape[1:]), pred_state0
-    )
-    _, out0 = bound.predictor_step(
-        jax.tree_util.tree_map(
-            lambda x: x.reshape((N * B,) + x.shape[2:]), pred_state0
-        ),
-        jnp.full((N * B,), -1, jnp.int32),
-    )
-    init = (
-        jnp.zeros((N,), jnp.int32),  # per-sample frame pointer
-        jnp.concatenate(
-            [jnp.zeros((N, 1)), jnp.full((N, B - 1), NEG)], 1
-        ).astype(jnp.float32),  # only beam 0 live initially
-        jnp.full((N, B, L), blank, jnp.int32),
-        jnp.zeros((N, B), jnp.int32),  # emitted length u
-        jnp.zeros((N, B), jnp.int32),  # emissions at the current frame
-        jnp.zeros((N, B), bool),  # settled ("waiting") for current frame
-        jnp.zeros((N, B), jnp.uint32),  # rolling prefix hash
-        pred_state0,
-        out0.reshape(N, B, -1),
-    )
-    _, scores, tokens, u, _, _, _, _, _ = jax.lax.while_loop(
-        cond, body, init
-    )
-
-    best = jnp.argmax(scores, axis=1)
-    n_iota = jnp.arange(N)
-    return tokens[n_iota, best], u[n_iota, best], scores[n_iota, best]
+    return jax.lax.while_loop(cond, body, state)

@@ -11,8 +11,9 @@ trips inside a chunk).
 
 Exactness contract (tested, `tests/test_streaming.py`): feeding the same
 (N, T, F) features through any chunking — any mix of chunk sizes, ragged
-tail included — reproduces the one-shot `greedy_decode` tokens and lengths
-EXACTLY.  The encoder achieves this by masking out-of-stream frames to zero
+tail included — reproduces the one-shot `greedy_decode` (or, with
+``beam_size`` > 0, `beam_decode`: tokens, lengths AND scores) EXACTLY.
+The encoder achieves this by masking out-of-stream frames to zero
 in LN-space inside each conv block, which makes the chunked computation's
 warm-up/flush rows act precisely like the full-utterance SAME convolution's
 zero padding (`transducer.ConvBlock.stream`).
@@ -34,22 +35,34 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from warp_rnnt_tpu.models.beam_search import (
+    beam_best,
+    beam_drain,
+    beam_state_init,
+)
 from warp_rnnt_tpu.models.decoding import greedy_drain, greedy_state_init
 
 _NO_LIMIT = 2 ** 30  # "more frames are coming" sentinel for the encoder
 
 
-def stream_init(model, params, N: int, max_length: int, blank: int = 0):
+def stream_init(model, params, N: int, max_length: int, blank: int = 0,
+                beam_size: int = 0):
     """A fresh streaming session state (a fixed-shape pytree).
 
     ``max_length`` bounds emitted tokens per utterance (the token buffer
     shape); ``blank`` must match the values passed to step/finish.
+    ``beam_size`` > 0 makes it a beam-search session (same exactness
+    contract vs the one-shot `beam_decode`; `stream_finish` then also
+    returns the best-alignment scores).
     """
     bound = model.bind(params)
-    return {
-        "enc": bound.encoder.stream_init(N),
-        "dec": greedy_state_init(bound, N, max_length, blank),
-    }
+    if beam_size:
+        dec = beam_state_init(bound, N, beam_size, max_length, blank)
+        key = "dec_beam"
+    else:
+        dec = greedy_state_init(bound, N, max_length, blank)
+        key = "dec"
+    return {"enc": bound.encoder.stream_init(N), key: dec}
 
 
 def stream_step(model, params, state, feats_chunk, xn=None,
@@ -70,6 +83,12 @@ def stream_step(model, params, state, feats_chunk, xn=None,
     bound_frames = jnp.maximum(avail, 0)
     if xn is not None:
         bound_frames = jnp.minimum(jnp.asarray(xn, jnp.int32), bound_frames)
+    if "dec_beam" in state:
+        dec = beam_drain(
+            bound, state["dec_beam"], out, p0, bound_frames,
+            max_symbols_per_step=max_symbols_per_step, blank=blank,
+        )
+        return {"enc": enc_state, "dec_beam": dec}
     dec = greedy_drain(
         bound, state["dec"], out, p0, bound_frames,
         max_symbols_per_step=max_symbols_per_step, blank=blank,
@@ -80,13 +99,21 @@ def stream_step(model, params, state, feats_chunk, xn=None,
 def stream_finish(model, params, state, xn=None,
                   max_symbols_per_step: int = 4, blank: int = 0):
     """End the stream: flush the encoder lookahead, decode the tail, and
-    return (tokens (N, max_length), lengths (N,), final_state)."""
+    return (tokens (N, max_length), lengths (N,), final_state) — beam
+    sessions return (tokens, lengths, scores, final_state)."""
     bound = model.bind(params)
     L = state["enc"]["m"]
     enc_state, out, p0 = bound.encoder.stream_finish(state["enc"], L)
     bound_frames = L if xn is None else jnp.minimum(
         jnp.asarray(xn, jnp.int32), L
     )
+    if "dec_beam" in state:
+        dec = beam_drain(
+            bound, state["dec_beam"], out, p0, bound_frames,
+            max_symbols_per_step=max_symbols_per_step, blank=blank,
+        )
+        tokens, lengths, scores = beam_best(dec)
+        return tokens, lengths, scores, {"enc": enc_state, "dec_beam": dec}
     dec = greedy_drain(
         bound, state["dec"], out, p0, bound_frames,
         max_symbols_per_step=max_symbols_per_step, blank=blank,
